@@ -1,0 +1,68 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ip_mcmc_tpu import diagnostics
+from tests.oracle.oracle_mcmc import ess_numpy
+
+
+def test_ess_iid_close_to_n():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1000, 4))
+    e = float(diagnostics.ess(jnp.array(x)))
+    assert 2500 < e < 5600  # ~n*m = 4000 within estimator noise
+
+
+def test_ess_ar1_reduced():
+    rng = np.random.default_rng(1)
+    rho = 0.9
+    n, m = 2000, 4
+    x = np.zeros((n, m))
+    eps = rng.standard_normal((n, m))
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + np.sqrt(1 - rho**2) * eps[t]
+    e = float(diagnostics.ess(jnp.array(x)))
+    # theoretical ESS factor (1-rho)/(1+rho) ≈ 0.0526 → ~421 of 8000
+    assert 150 < e < 900
+
+
+def test_ess_matches_numpy_oracle():
+    """Same estimator on both sides — required for honest benchmark accounting
+    (SURVEY.md §7.3 item 6)."""
+    rng = np.random.default_rng(2)
+    x = np.cumsum(rng.standard_normal((500, 8)), axis=0) * 0.1 + rng.standard_normal((500, 8))
+    np.testing.assert_allclose(
+        float(diagnostics.ess(jnp.array(x, dtype=jnp.float32))),
+        ess_numpy(x),
+        rtol=2e-3,
+    )
+
+
+def test_rhat_converged_near_one():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1000, 8))
+    r = float(diagnostics.split_rhat(jnp.array(x)))
+    assert 0.99 < r < 1.02
+
+
+def test_rhat_detects_disagreement():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((500, 4))
+    x[:, 0] += 5.0  # one chain stuck elsewhere
+    r = float(diagnostics.split_rhat(jnp.array(x)))
+    assert r > 1.5
+
+
+def test_summarize_shapes():
+    rng = np.random.default_rng(5)
+    s = jnp.array(rng.standard_normal((200, 4, 3)))
+    out = diagnostics.summarize(s)
+    assert out["mean"].shape == (3,)
+    assert out["ess"].shape == (3,)
+    assert out["rhat"].shape == (3,)
+
+
+def test_diagnostics_jittable():
+    f = jax.jit(diagnostics.ess)
+    x = jnp.array(np.random.default_rng(6).standard_normal((256, 4)))
+    assert np.isfinite(float(f(x)))
