@@ -1,0 +1,113 @@
+"""Burgers' equation forward model: u_t + (u²/2)_x = 0, finite-volume Godunov.
+
+The reference's headline experiment class: inversion of uncertain initial
+data for a hyperbolic conservation law with a Godunov-type FV solver
+(SURVEY.md §1.1/§3.4 [M]). Shock formation makes this forward map
+NON-differentiable — use the derivative-free kernels (RWM/pCN) on it, exactly
+as the reference does (SURVEY.md §7.3 item 3).
+
+TPU-native design: the time loop is ``lax.scan`` with a STATIC step count
+(dt fixed by a CFL bound on the prior's amplitude range — no data-dependent
+shapes), the flux sweep is pure elementwise VPU work on the (n_cells,) state
+(and vmaps over chains into (chains, n_cells) — wide VPU lanes), periodic BC
+via ``jnp.roll``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ip_mcmc_tpu.models import kl
+
+
+def godunov_flux(u_left, u_right):
+    """Exact Godunov flux for the convex flux f(u) = u²/2:
+    F = max( f(max(u_l, 0)), f(min(u_r, 0)) )."""
+    fl = 0.5 * jnp.square(jnp.maximum(u_left, 0.0))
+    fr = 0.5 * jnp.square(jnp.minimum(u_right, 0.0))
+    return jnp.maximum(fl, fr)
+
+
+def step_burgers(state, dt_over_h):
+    """One periodic FV step: u_i -= dt/h (F_{i+1/2} − F_{i−1/2})."""
+    u_right = jnp.roll(state, -1)
+    flux_right = godunov_flux(state, u_right)  # F_{i+1/2}
+    flux_left = jnp.roll(flux_right, 1)  # F_{i−1/2}
+    return state - dt_over_h * (flux_right - flux_left)
+
+
+def integrate(u0, dt, n_steps, record_every=0):
+    """Integrate n_steps with cell width h = 1/n_cells.
+
+    record_every=0: return final state only. Otherwise also return the
+    recorded trajectory every ``record_every`` steps (static count).
+    """
+    n_cells = u0.shape[-1]
+    dt_over_h = dt * n_cells
+
+    if record_every == 0:
+        def body(state, _):
+            return step_burgers(state, dt_over_h), None
+
+        final, _ = jax.lax.scan(body, u0, None, length=n_steps)
+        return final
+
+    def body(state, i):
+        new = step_burgers(state, dt_over_h)
+        return new, new
+
+    final, traj = jax.lax.scan(body, u0, jnp.arange(n_steps))
+    return final, traj[record_every - 1 :: record_every]
+
+
+def make_burgers_forward(
+    n_cells: int = 128,
+    n_modes: int = 16,
+    alpha: float = 1.5,
+    field_scale: float = 2.0,
+    t_final: float = 0.3,
+    cfl_amax: float = 3.0,
+    obs_indices=None,
+    mean_profile=None,
+):
+    """Build forward(u): KL coefficients (whitened) → final-time solution at
+    observation cells.
+
+    Initial data: u0(x) = mean_profile(x) + Σ u_k √λ_k φ_k(x) (periodic
+    Fourier basis). ``cfl_amax`` bounds |u| for the static CFL time step:
+    dt = CFL·h/amax with CFL=0.5 — keep the prior scale consistent with it.
+    """
+    centers = (np.arange(n_cells) + 0.5) / n_cells
+    basis_np = kl.fourier_basis(n_modes, centers)
+    k_eff = np.maximum(1, (np.arange(n_modes) + 1) // 2)  # mode frequency
+    lam = field_scale * (2.0 * np.pi * k_eff) ** (-2.0 * alpha)
+    scaled_basis = jnp.asarray(np.sqrt(lam)[:, None] * basis_np, dtype=jnp.float32)
+    if mean_profile is None:
+        mean = jnp.zeros(n_cells, dtype=jnp.float32)
+    else:
+        mean = jnp.asarray(mean_profile, dtype=jnp.float32)
+    h = 1.0 / n_cells
+    dt = 0.5 * h / cfl_amax
+    n_steps = int(np.ceil(t_final / dt))
+    dt = t_final / n_steps  # hit t_final exactly, still CFL-safe
+    if obs_indices is None:
+        obs_indices = np.linspace(0, n_cells - 1, 16).round().astype(int)
+    obs_indices = jnp.asarray(np.asarray(obs_indices))
+
+    def forward(u):
+        u0 = mean + u @ scaled_basis
+        final = integrate(u0, dt, n_steps)
+        return final[obs_indices]
+
+    aux = {
+        "scaled_basis": scaled_basis,
+        "eigenvalues": jnp.asarray(lam),
+        "obs_indices": obs_indices,
+        "n_cells": n_cells,
+        "dt": dt,
+        "n_steps": n_steps,
+        "mean": mean,
+    }
+    return forward, aux

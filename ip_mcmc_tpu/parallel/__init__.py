@@ -1,0 +1,17 @@
+from ip_mcmc_tpu.parallel.mesh import (
+    CHAIN_AXIS,
+    chain_sharding,
+    make_chain_mesh,
+    replicate,
+    sample_chains_sharded,
+    shard_chains,
+)
+
+__all__ = [
+    "CHAIN_AXIS",
+    "make_chain_mesh",
+    "chain_sharding",
+    "shard_chains",
+    "replicate",
+    "sample_chains_sharded",
+]

@@ -1,0 +1,211 @@
+"""Forward-model tests: numerics against independent oracles (closed forms,
+manufactured solutions, conservation laws, NumPy reassembly)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ip_mcmc_tpu.models import burgers, darcy, kl, linear, ode
+
+
+class TestKL:
+    def test_sine_basis_orthonormal(self):
+        n = 2048
+        grid = (np.arange(n) + 0.5) / n
+        B = kl.sine_basis(8, grid)
+        gram = B @ B.T / n
+        np.testing.assert_allclose(gram, np.eye(8), atol=1e-3)
+
+    def test_fourier_basis_orthonormal(self):
+        n = 2048
+        grid = (np.arange(n) + 0.5) / n
+        B = kl.fourier_basis(7, grid)
+        gram = B @ B.T / n
+        np.testing.assert_allclose(gram, np.eye(7), atol=1e-3)
+
+    def test_2d_basis_orthonormal(self):
+        B, ij = kl.sine_basis_2d(3, 64)
+        gram = B @ B.T / (64 * 64)
+        np.testing.assert_allclose(gram, np.eye(9), atol=1e-3)
+        assert ij.shape == (9, 2)
+
+
+class TestODE:
+    def test_rk4_exponential_decay(self):
+        # dy/dt = -y, y(0)=1 → y(t) = e^{-t}
+        f = lambda y, p: -y
+        traj = ode.rk4_integrate(f, jnp.array([1.0]), 0.01, 100)
+        np.testing.assert_allclose(float(traj[-1, 0]), np.exp(-1.0), rtol=1e-5)
+
+    def test_rk4_fourth_order_convergence(self):
+        f = lambda y, p: -y
+        errs = []
+        for n in [2, 4]:  # coarse: truncation error above f32 roundoff
+            traj = ode.rk4_integrate(f, jnp.array([1.0]), 1.0 / n, n)
+            errs.append(abs(float(traj[-1, 0]) - np.exp(-1.0)))
+        order = np.log2(errs[0] / max(errs[1], 1e-12))
+        assert order > 3.5  # ~4 in exact arithmetic
+
+    def test_logistic_closed_form(self):
+        # dy = r y (1 - y/K): y(t) = K / (1 + (K/y0 - 1) e^{-rt})
+        r, K, y0, t = 1.5, 2.0, 0.1, 2.0
+        n = 400
+        fwd = ode.make_logistic_forward(
+            jnp.array([y0]), t / n, n, obs_indices=[n]
+        )
+        exact = K / (1 + (K / y0 - 1) * np.exp(-r * t))
+        got = float(fwd(jnp.log(jnp.array([r, K])))[0])
+        np.testing.assert_allclose(got, exact, rtol=1e-4)
+
+    def test_lotka_volterra_conserved_quantity(self):
+        # LV conserves V = δx − γ ln x + βy − α ln y
+        theta = jnp.log(jnp.array([1.0, 0.5, 1.0, 0.5]))
+        traj = ode.rk4_integrate(
+            ode.lotka_volterra_field, jnp.array([1.0, 2.0]), 0.002, 2000, theta
+        )
+        a, b, g, d = np.exp(np.asarray(theta))
+        x, y = np.asarray(traj[:, 0]), np.asarray(traj[:, 1])
+        V = d * x - g * np.log(x) + b * y - a * np.log(y)
+        assert np.abs(V - V[0]).max() < 1e-3
+
+    def test_forward_is_differentiable(self):
+        fwd = ode.make_lotka_volterra_forward(
+            jnp.array([1.0, 1.0]), 0.01, 50, obs_indices=[25, 50]
+        )
+        theta = jnp.log(jnp.array([1.0, 0.5, 1.0, 0.5]))
+        g = jax.grad(lambda t: jnp.sum(fwd(t)))(theta)
+        assert np.all(np.isfinite(np.asarray(g)))
+        # finite-difference check on one coordinate
+        eps = 1e-3
+        e0 = jnp.zeros(4).at[0].set(eps)
+        fd = (jnp.sum(fwd(theta + e0)) - jnp.sum(fwd(theta - e0))) / (2 * eps)
+        np.testing.assert_allclose(float(g[0]), float(fd), rtol=1e-2)
+
+
+class TestDarcy:
+    def test_constant_coefficient_vs_numpy_assembly(self):
+        """a ≡ 1: compare the jitted dense assembly + Cholesky solve against
+        an independently assembled NumPy system."""
+        n = 8
+        indices = darcy._stencil_indices(n)
+        a = jnp.ones((n, n))
+        A = np.asarray(darcy.assemble_operator(a, indices, n))
+        # independent NumPy assembly
+        N = n * n
+        h2 = n * n
+        A_ref = np.zeros((N, N))
+        for i in range(n):
+            for j in range(n):
+                p = i * n + j
+                for di, dj in [(-1, 0), (1, 0), (0, -1), (0, 1)]:
+                    ii, jj = i + di, j + dj
+                    if 0 <= ii < n and 0 <= jj < n:
+                        A_ref[p, ii * n + jj] -= h2
+                        A_ref[p, p] += h2
+                    else:
+                        A_ref[p, p] += 2 * h2
+        np.testing.assert_allclose(A, A_ref, rtol=1e-5)
+
+    def test_poisson_series_solution(self):
+        """a ≡ 1 (u = 0 KL coeffs): −Δp = 1 on unit square, p=0 boundary;
+        compare center pressure to the exact series value ≈ 0.07367."""
+        n = 32
+        center = (n // 2) * n + n // 2
+        fwd, aux = darcy.make_darcy_forward(
+            n_grid=n, n_modes_per_dim=2, obs_indices=[center]
+        )
+        p_center = float(fwd(jnp.zeros(4))[0])
+        exact = 0.0736713  # Σ series for −Δp=1, evaluated at (0.5, 0.5)
+        np.testing.assert_allclose(p_center, exact, rtol=0.02)
+
+    def test_spd_and_symmetry(self):
+        n = 8
+        indices = darcy._stencil_indices(n)
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(np.exp(rng.standard_normal((n, n)) * 0.5))
+        A = np.asarray(darcy.assemble_operator(a, indices, n))
+        np.testing.assert_allclose(A, A.T, rtol=1e-5)
+        assert np.linalg.eigvalsh(A).min() > 0
+
+    def test_forward_differentiable(self):
+        fwd, aux = darcy.make_darcy_forward(n_grid=8, n_modes_per_dim=2)
+        u = 0.3 * jnp.ones(4)
+        g = jax.grad(lambda v: jnp.sum(fwd(v)))(u)
+        assert np.all(np.isfinite(np.asarray(g)))
+        eps = 1e-2
+        e0 = jnp.zeros(4).at[1].set(eps)
+        fd = (jnp.sum(fwd(u + e0)) - jnp.sum(fwd(u - e0))) / (2 * eps)
+        np.testing.assert_allclose(float(g[1]), float(fd), rtol=2e-2)
+
+    def test_batched_forward_vmaps(self):
+        fwd, aux = darcy.make_darcy_forward(n_grid=8, n_modes_per_dim=2)
+        U = jnp.asarray(np.random.default_rng(1).standard_normal((16, 4)), jnp.float32)
+        out = jax.vmap(fwd)(U)
+        assert out.shape == (16, len(aux["obs_indices"]))
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestBurgers:
+    def test_godunov_flux_consistency(self):
+        u = jnp.linspace(-2, 2, 9)
+        np.testing.assert_allclose(
+            np.asarray(burgers.godunov_flux(u, u)), 0.5 * np.asarray(u) ** 2, atol=1e-6
+        )
+
+    def test_mass_conservation_periodic(self):
+        rng = np.random.default_rng(0)
+        u0 = jnp.asarray(rng.standard_normal(128), jnp.float32)
+        final = burgers.integrate(u0, dt=0.001, n_steps=200)
+        np.testing.assert_allclose(
+            float(jnp.sum(final)), float(jnp.sum(u0)), atol=1e-3
+        )
+
+    def test_shock_speed(self):
+        """Riemann data u_l=1, u_r=0 → shock moving at speed 1/2."""
+        n = 256
+        x = (np.arange(n) + 0.5) / n
+        u0 = jnp.asarray((x < 0.25).astype(np.float32))
+        t = 0.3
+        n_steps = 500
+        final = burgers.integrate(u0, dt=t / n_steps, n_steps=n_steps)
+        f = np.asarray(final)
+        # shock initially at 0.25, moves at speed (u_l+u_r)/2 = 0.5 → 0.40
+        # (periodic wrap also creates a rarefaction at x=0; the shock is the
+        # rightmost cell still above half height)
+        shock_pos = x[np.nonzero(f > 0.5)[0].max()]
+        assert abs(shock_pos - 0.4) < 0.03
+
+    def test_rarefaction(self):
+        """u_l=0, u_r=1 edge → rarefaction fan, no entropy-violating shock."""
+        n = 256
+        x = (np.arange(n) + 0.5) / n
+        u0 = jnp.asarray(((x > 0.25) & (x < 0.75)).astype(np.float32))
+        final = burgers.integrate(u0, dt=0.001, n_steps=300)
+        f = np.asarray(final)
+        # left edge spreads: solution between 0 and 1, monotone increase there
+        seg = f[(x > 0.26) & (x < 0.5)]
+        assert np.all(np.diff(seg) > -1e-3)
+
+    def test_forward_builder_shapes(self):
+        fwd, aux = burgers.make_burgers_forward(n_cells=64, n_modes=8, t_final=0.1)
+        out = fwd(jnp.zeros(8))
+        assert out.shape == aux["obs_indices"].shape
+        U = jnp.asarray(np.random.default_rng(2).standard_normal((8, 8)), jnp.float32)
+        batch = jax.vmap(fwd)(U)
+        assert batch.shape == (8, len(aux["obs_indices"]))
+        assert np.all(np.isfinite(np.asarray(batch)))
+
+
+class TestLinear:
+    def test_conjugate_posterior_matches_direct(self):
+        rng = np.random.default_rng(3)
+        A = rng.standard_normal((5, 3))
+        y = rng.standard_normal(5)
+        mean, cov = linear.conjugate_posterior(
+            A, np.zeros(3), np.eye(3), 0.25 * np.eye(5), y
+        )
+        # direct least-squares form
+        prec = np.eye(3) + A.T @ A / 0.25
+        np.testing.assert_allclose(cov, np.linalg.inv(prec), rtol=1e-8)
+        np.testing.assert_allclose(mean, np.linalg.solve(prec, A.T @ y / 0.25), rtol=1e-8)
