@@ -1,0 +1,130 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (SURVEY.md §4.2 item 4):
+sharded run ≡ single-device run bit-for-bit, collectives vs serial oracle.
+Determinism across mesh shapes doubles as the 'race detector' (§5.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ip_mcmc_tpu import driver, parallel
+from ip_mcmc_tpu.distributions import DiagGaussian
+from ip_mcmc_tpu.kernels import pcn, rwm
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def logdensity(x):
+    return -0.5 * jnp.sum(x * x)
+
+
+def _setup(n_chains=64, dim=4):
+    kernel = rwm.build_kernel(logdensity, step_size=0.7)
+    positions = jax.random.normal(jax.random.key(0), (n_chains, dim))
+    state = driver.init_chains(rwm.init, positions, logdensity)
+    return kernel, state
+
+
+def test_mesh_construction():
+    mesh = parallel.make_chain_mesh()
+    assert mesh.axis_names == (parallel.CHAIN_AXIS,)
+    assert mesh.devices.size == 8
+
+
+def test_sharded_state_placement():
+    mesh = parallel.make_chain_mesh()
+    _, state = _setup(n_chains=64)
+    sharded = parallel.shard_chains(state, mesh)
+    shard_shapes = [
+        s.data.shape for s in sharded.position.addressable_shards
+    ]
+    assert all(sh == (8, 4) for sh in shard_shapes)  # 64 chains / 8 devices
+
+
+def test_sharded_equals_single_device_bitwise():
+    """Same base key ⇒ identical samples regardless of device placement."""
+    kernel, state = _setup(n_chains=64)
+    mesh = parallel.make_chain_mesh()
+    _, s_single, _ = driver.sample_chains(
+        kernel, state, jax.random.key(5), n_samples=20, burn_in=10
+    )
+    _, s_sharded, _ = parallel.sample_chains_sharded(
+        kernel, state, jax.random.key(5), mesh, n_samples=20, burn_in=10
+    )
+    np.testing.assert_array_equal(np.asarray(s_single), np.asarray(s_sharded))
+
+
+def test_mesh_shape_invariance():
+    """2-device vs 8-device mesh produce identical results (determinism as
+    collective-misuse detector)."""
+    kernel, state = _setup(n_chains=32)
+    mesh8 = parallel.make_chain_mesh()
+    mesh2 = parallel.make_chain_mesh(n_devices=2)
+    _, s8, _ = parallel.sample_chains_sharded(
+        kernel, state, jax.random.key(3), mesh8, n_samples=15, burn_in=5
+    )
+    _, s2, _ = parallel.sample_chains_sharded(
+        kernel, state, jax.random.key(3), mesh2, n_samples=15, burn_in=5
+    )
+    np.testing.assert_array_equal(np.asarray(s8), np.asarray(s2))
+
+
+def test_cross_chain_reduction_matches_serial():
+    """Pooled moments over a sharded chain axis == NumPy oracle."""
+    mesh = parallel.make_chain_mesh()
+    x = jax.random.normal(jax.random.key(1), (64, 4))
+    xs = jax.device_put(x, parallel.chain_sharding(mesh))
+
+    @jax.jit
+    def pooled(a):
+        mean = jnp.mean(a, axis=0)
+        cov = (a - mean).T @ (a - mean) / (a.shape[0] - 1)
+        return mean, cov
+
+    mean, cov = pooled(xs)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(x).mean(0), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(cov), np.cov(np.asarray(x).T), atol=1e-5
+    )
+
+
+def test_shard_map_psum_acceptance_stats():
+    """Explicit shard_map path: per-device acceptance counts pooled with psum
+    equal the global mean (the CountedAccepter collective)."""
+    mesh = parallel.make_chain_mesh()
+    accepted = (jax.random.uniform(jax.random.key(2), (64,)) < 0.3).astype(
+        jnp.float32
+    )
+    accepted_sharded = jax.device_put(accepted, parallel.chain_sharding(mesh))
+
+    def rate(a):
+        local_sum = jnp.sum(a)
+        total = jax.lax.psum(local_sum, parallel.CHAIN_AXIS)
+        n = jax.lax.psum(jnp.float32(a.shape[0]), parallel.CHAIN_AXIS)
+        return (total / n)[None]
+
+    f = jax.shard_map(
+        rate, mesh=mesh, in_specs=P(parallel.CHAIN_AXIS), out_specs=P(parallel.CHAIN_AXIS)
+    )
+    out = np.asarray(f(accepted_sharded))
+    np.testing.assert_allclose(out, np.asarray(accepted).mean(), atol=1e-6)
+
+
+def test_pcn_sharded_posterior():
+    """End-to-end sharded pCN on the conjugate Gaussian IP."""
+    mesh = parallel.make_chain_mesh()
+    prior = DiagGaussian(mean=jnp.zeros(2), scale=jnp.ones(2))
+    y = jnp.array([1.0, 1.0])
+    phi = lambda u: 0.5 * jnp.sum((y - u) ** 2)
+    kernel = pcn.build_kernel(phi, prior, beta=0.4)
+    key_i, key_r = jax.random.split(jax.random.key(7))
+    state = driver.init_chains(pcn.init, prior.sample(key_i, (256,)), phi)
+    _, samples, _ = parallel.sample_chains_sharded(
+        kernel, state, key_r, mesh, n_samples=600, burn_in=300
+    )
+    flat = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), [0.5, 0.5], atol=0.06)
+    np.testing.assert_allclose(np.cov(flat.T), 0.5 * np.eye(2), atol=0.1)
