@@ -1,0 +1,203 @@
+"""Adaptive tempered-likelihood Sequential Monte Carlo.
+
+BASELINE.json config 5: "adaptive SMC with tempered likelihood on the PDE
+inverse problem, particles sharded across hosts with collective resampling".
+Beyond-reference capability (the reference has no SMC).
+
+Algorithm (Del Moral–Doucet–Jasra adaptive tempering):
+- particles x_i ~ prior, inverse temperature β: 0 → 1;
+- each stage choose δβ by BISECTION so the incremental ESS hits
+  ``ess_target · N`` (`lax.while_loop`, on-device, data-dependent but
+  static-shaped);
+- reweight with −δβ·Φ, SYSTEMATIC resampling by global ancestor indices,
+  then ``mutation_steps`` pCN moves targeting exp(−β Φ) dμ₀;
+- evidence log Z = Σ_stages log mean_i w_i exp(−δβ Φ_i) accumulated
+  on-device (testable against the closed-form linear-Gaussian evidence).
+
+Distribution: everything is global-view jnp over the (sharded) particle
+axis — the weight reductions lower to psum, the ancestor gather to an
+all-gather/collective-permute over ICI/DCN (SURVEY.md §2.4). Bitwise
+mesh-shape invariance is tested in tests/test_smc.py.
+
+The whole sampler is ONE ``lax.while_loop`` program: stage count is
+data-dependent (capped at ``max_stages``) without leaving the device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ip_mcmc_tpu.driver import chain_keys
+from ip_mcmc_tpu.kernels import pcn
+from ip_mcmc_tpu.utils.struct import pytree_dataclass
+
+
+@pytree_dataclass
+class SMCState:
+    particles: jnp.ndarray  # (n, d)
+    potentials: jnp.ndarray  # (n,) untempered Φ(x_i), cached
+    beta: jnp.ndarray  # current inverse temperature
+    log_z: jnp.ndarray  # accumulated log evidence
+    stage: jnp.ndarray  # stage counter
+
+
+@pytree_dataclass
+class SMCInfo:
+    betas: jnp.ndarray  # (max_stages,) β ladder (nan-padded)
+    ess: jnp.ndarray  # (max_stages,) post-reweight ESS
+    accept_rates: jnp.ndarray  # (max_stages,) mutation acceptance
+    n_stages: jnp.ndarray
+
+
+def effective_sample_size(log_weights):
+    """ESS = (Σw)²/Σw² computed stably in log space."""
+    lse1 = jax.scipy.special.logsumexp(log_weights)
+    lse2 = jax.scipy.special.logsumexp(2.0 * log_weights)
+    return jnp.exp(2.0 * lse1 - lse2)
+
+
+def find_next_beta(beta, potentials, ess_target_frac, n_bisect=40):
+    """Largest δβ ∈ (0, 1−β] with ESS(−δβ·Φ) ≥ target·N, by bisection."""
+    n = potentials.shape[0]
+    target = ess_target_frac * n
+
+    def ess_at(delta):
+        return effective_sample_size(-delta * potentials)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        ok = ess_at(mid) >= target
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    hi0 = 1.0 - beta
+    # if even the full remaining step keeps ESS above target, just take it
+    full_ok = ess_at(hi0) >= target
+    lo, hi = jax.lax.fori_loop(
+        0, n_bisect, body, (jnp.zeros_like(beta), hi0)
+    )
+    delta = jnp.where(full_ok, hi0, lo)
+    # never stall: enforce a tiny floor so β always advances
+    return jnp.maximum(delta, 1e-6 * (1.0 - beta) + 1e-12)
+
+
+def systematic_resample(key, log_weights):
+    """Systematic resampling: global ancestor indices from one uniform.
+
+    Deterministic given (key, weights) — the distributed-friendly scheme
+    (SURVEY.md §7.3 item 1): the weight vector is all-gathered by XLA under
+    sharding, ancestors are identical on every device, and the particle
+    gather lowers to a collective.
+    """
+    n = log_weights.shape[0]
+    w = jax.nn.softmax(log_weights)
+    cum = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, (), minval=0.0, maxval=1.0 / n)
+    positions = u0 + jnp.arange(n, dtype=w.dtype) / n
+    ancestors = jnp.searchsorted(cum, positions)
+    return jnp.clip(ancestors, 0, n - 1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "potential_fn",
+        "n_particles",
+        "mutation_steps",
+        "max_stages",
+    ),
+)
+def run(
+    potential_fn,
+    prior,
+    key,
+    n_particles=1024,
+    *,
+    ess_target=0.5,
+    mutation_steps=5,
+    pcn_step=0.3,
+    max_stages=50,
+):
+    """Run adaptive tempered SMC. Returns (SMCState, SMCInfo).
+
+    ``potential_fn``: untempered data misfit Φ(u) (single particle).
+    ``prior``: distribution with sample/sample_centered/mean (pCN-compatible).
+    """
+    key_init, key_loop = jax.random.split(key)
+    particles = prior.sample(key_init, (n_particles,))
+    potentials = jax.vmap(potential_fn)(particles)
+    state = SMCState(
+        particles=particles,
+        potentials=potentials,
+        beta=jnp.zeros((), potentials.dtype),
+        log_z=jnp.zeros((), potentials.dtype),
+        stage=jnp.zeros((), jnp.int32),
+    )
+    nan = jnp.full((max_stages,), jnp.nan, dtype=potentials.dtype)
+    info = SMCInfo(
+        betas=nan, ess=nan, accept_rates=nan, n_stages=jnp.zeros((), jnp.int32)
+    )
+
+    def cond(carry):
+        state, _ = carry
+        return (state.beta < 1.0) & (state.stage < max_stages)
+
+    def body(carry):
+        state, info = carry
+        key_stage = jax.random.fold_in(key_loop, state.stage)
+        key_res, key_mut = jax.random.split(key_stage)
+
+        delta = find_next_beta(state.beta, state.potentials, ess_target)
+        new_beta = jnp.minimum(state.beta + delta, 1.0)
+        log_w = -delta * state.potentials  # incremental weights (uniform prior weights)
+        # evidence increment: log mean exp(log_w)
+        log_z = state.log_z + jax.scipy.special.logsumexp(log_w) - jnp.log(
+            jnp.asarray(n_particles, log_w.dtype)
+        )
+        ess_val = effective_sample_size(log_w)
+
+        ancestors = systematic_resample(key_res, log_w)
+        particles = state.particles[ancestors]
+        potentials = state.potentials[ancestors]
+
+        # mutation: pCN targeting exp(-new_beta Φ) dμ0
+        tempered = lambda u: new_beta * potential_fn(u)
+        kernel = pcn.build_kernel(tempered, prior, beta=pcn_step)
+        mut_state = pcn.PCNState(
+            position=particles, potential=new_beta * potentials
+        )
+
+        def mut_body(carry, step_idx):
+            ms, _ = carry
+            keys = chain_keys(key_mut, step_idx, n_particles)
+            ms, minfo = jax.vmap(kernel)(keys, ms)
+            return (ms, jnp.mean(minfo.accept_prob)), None
+
+        (mut_state, acc_rate), _ = jax.lax.scan(
+            mut_body,
+            (mut_state, jnp.zeros((), potentials.dtype)),
+            jnp.arange(mutation_steps),
+        )
+        particles = mut_state.position
+        potentials = mut_state.potential / jnp.maximum(new_beta, 1e-12)
+
+        info = SMCInfo(
+            betas=info.betas.at[state.stage].set(new_beta),
+            ess=info.ess.at[state.stage].set(ess_val),
+            accept_rates=info.accept_rates.at[state.stage].set(acc_rate),
+            n_stages=info.n_stages + 1,
+        )
+        state = SMCState(
+            particles=particles,
+            potentials=potentials,
+            beta=new_beta,
+            log_z=log_z,
+            stage=state.stage + 1,
+        )
+        return state, info
+
+    state, info = jax.lax.while_loop(cond, body, (state, info))
+    return state, info
