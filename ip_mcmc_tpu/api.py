@@ -1,0 +1,332 @@
+"""Reference-compatible object API.
+
+Drop-in parity surface with ``ochsnerd/ip_mcmc``'s public classes
+(SURVEY.md §2.1: ``MCMCSampler``, ``StandardRWProposer``, ``pCNProposer``,
+``AnalyticAccepter``, ``StandardRWAccepter``, ``pCNAccepter``,
+``CountedAccepter``, ``GaussianDistribution``, ``LogNormalDistribution``,
+``IndependentDistributions``, ``AnalyticPotential``, ``EvolutionPotential``
+— expected in ``ip_mcmc/*.py``; mount empty, names recalled [H/M]), so a
+user of the reference can switch imports and keep their experiment scripts.
+
+Under the hood nothing is object-dispatched per step: ``MCMCSampler.run``
+compiles the proposer/accepter pair into ONE fused ``lax.scan`` program via
+the functional kernels, vmapped over ``n_chains`` (default 1 preserves the
+reference's single-chain semantics; pass ``n_chains=4096`` to light up the
+chip). The Accepter objects expose a cached-potential protocol
+(``init_cache`` / ``log_ratio``) so each step costs exactly one
+forward-model evaluation, like the reference's potential caching.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ip_mcmc_tpu import distributions as dist
+from ip_mcmc_tpu import driver
+from ip_mcmc_tpu.kernels.base import MHInfo, mh_select
+from ip_mcmc_tpu.utils.struct import pytree_dataclass
+
+
+# ------------------------------------------------------------ distributions
+class GaussianDistribution:
+    """Reference-parity Gaussian; dense or diagonal covariance."""
+
+    def __init__(self, mean, covariance):
+        mean = jnp.asarray(mean, dtype=jnp.result_type(float))
+        covariance = jnp.asarray(covariance, dtype=mean.dtype)
+        if covariance.ndim == 1:
+            self._d = dist.DiagGaussian(mean=mean, scale=jnp.sqrt(covariance))
+        else:
+            self._d = dist.Gaussian.from_covariance(mean, covariance)
+
+    @property
+    def dim(self):
+        return self._d.dim
+
+    @property
+    def mean(self):
+        return self._d.mean
+
+    def sample(self, key, sample_shape=()):
+        return self._d.sample(key, sample_shape)
+
+    def sample_centered(self, key, sample_shape=()):
+        return self._d.sample_centered(key, sample_shape)
+
+    def log_density(self, x):
+        return self._d.log_prob(x)
+
+    def density(self, x):
+        return jnp.exp(self._d.log_prob(x))
+
+    def potential(self, x):
+        return self._d.potential(x)
+
+    def whiten(self, x):
+        return self._d.whiten(x)
+
+    @property
+    def inner(self):
+        return self._d
+
+
+class LogNormalDistribution:
+    def __init__(self, mu, sigma):
+        self._d = dist.LogNormal(mu=jnp.asarray(mu), sigma=jnp.asarray(sigma))
+
+    @property
+    def dim(self):
+        return self._d.dim
+
+    def sample(self, key, sample_shape=()):
+        return self._d.sample(key, sample_shape)
+
+    def log_density(self, x):
+        return self._d.log_prob(x)
+
+    def density(self, x):
+        return jnp.exp(self._d.log_prob(x))
+
+    @property
+    def inner(self):
+        return self._d
+
+
+class IndependentDistributions:
+    def __init__(self, distributions):
+        self._d = dist.IndependentProduct.of(
+            *[getattr(d, "inner", d) for d in distributions]
+        )
+
+    @property
+    def dim(self):
+        return self._d.dim
+
+    def sample(self, key, sample_shape=()):
+        return self._d.sample(key, sample_shape)
+
+    def log_density(self, x):
+        return self._d.log_prob(x)
+
+    def density(self, x):
+        return jnp.exp(self._d.log_prob(x))
+
+    @property
+    def inner(self):
+        return self._d
+
+
+# --------------------------------------------------------------- potentials
+class AnalyticPotential:
+    """Φ = −log density of a closed-form target (reference parity)."""
+
+    def __init__(self, log_density_fn):
+        self._f = log_density_fn
+
+    def __call__(self, u):
+        return -self._f(u)
+
+
+class EvolutionPotential:
+    """Φ(u) = ½‖Γ^{-1/2}(y − O(G(u)))‖² (reference parity; jittable)."""
+
+    def __init__(self, evolution, data, noise, observation=None):
+        self.evolution = evolution
+        self.data = jnp.asarray(data)
+        self.noise = noise
+        self.observation = observation
+
+    def __call__(self, u):
+        pred = self.evolution(u)
+        if self.observation is not None:
+            pred = self.observation(pred)
+        if pred.shape != self.data.shape:
+            raise ValueError(
+                f"forward-model prediction shape {pred.shape} != data shape "
+                f"{self.data.shape}"
+            )
+        r = self.data - pred
+        if self.noise is not None:
+            r = self.noise.whiten(r + self.noise.mean)
+        return 0.5 * jnp.sum(jnp.square(r))
+
+
+# ---------------------------------------------------------------- proposers
+class StandardRWProposer:
+    """v = u + δ ξ (ξ ~ N(0, I) or covariance-shaped)."""
+
+    def __init__(self, delta, dim=None, covariance_sqrt=None):
+        self.delta = delta
+        self.covariance_sqrt = (
+            None if covariance_sqrt is None else jnp.asarray(covariance_sqrt)
+        )
+
+    def propose(self, key, u):
+        xi = jax.random.normal(key, u.shape, dtype=u.dtype)
+        if self.covariance_sqrt is not None:
+            xi = self.covariance_sqrt @ xi
+        return u + self.delta * xi
+
+
+class pCNProposer:
+    """v = m + √(1−β²)(u−m) + βξ, ξ ~ N(0, C₀)."""
+
+    def __init__(self, beta, prior):
+        if not 0.0 < float(beta) <= 1.0:
+            raise ValueError(f"pCN beta must be in (0, 1], got {beta}")
+        self.beta = beta
+        self.prior = prior
+
+    def propose(self, key, u):
+        xi = self.prior.sample_centered(key)
+        m = self.prior.mean
+        return m + math.sqrt(1.0 - self.beta**2) * (u - m) + self.beta * xi
+
+
+# ---------------------------------------------------------------- accepters
+class AnalyticAccepter:
+    """Accept ratio from a closed-form (log-)density.
+
+    Accepts either a density (reference behavior) or, preferably, a
+    log-density via ``log_density_fn=`` (numerically safe).
+    """
+
+    def __init__(self, density=None, log_density_fn=None):
+        if (density is None) == (log_density_fn is None):
+            raise ValueError("pass exactly one of density / log_density_fn")
+        if log_density_fn is not None:
+            self._logf = log_density_fn
+        else:
+            self._logf = lambda u: jnp.log(density(u))
+
+    def init_cache(self, u):
+        return self._logf(u)
+
+    def log_ratio(self, cache_u, u, v):
+        cache_v = self._logf(v)
+        return cache_v - cache_u, cache_v
+
+
+class StandardRWAccepter:
+    """MH on the posterior: −log π = Φ + prior potential."""
+
+    def __init__(self, potential, prior):
+        self.potential = potential
+        self.prior = prior
+
+    def _neg_log_post(self, u):
+        return self.potential(u) + self.prior.potential(u)
+
+    def init_cache(self, u):
+        return self._neg_log_post(u)
+
+    def log_ratio(self, cache_u, u, v):
+        cache_v = self._neg_log_post(v)
+        return cache_u - cache_v, cache_v
+
+
+class pCNAccepter:
+    """min(1, exp(Φ(u) − Φ(v))) — prior handled by the pCN proposal."""
+
+    def __init__(self, potential):
+        self.potential = potential
+
+    def init_cache(self, u):
+        return self.potential(u)
+
+    def log_ratio(self, cache_u, u, v):
+        cache_v = self.potential(v)
+        return cache_u - cache_v, cache_v
+
+
+class CountedAccepter:
+    """Reference-parity decorator; the count comes back from the on-device
+    info reduction (not a Python-side counter)."""
+
+    def __init__(self, accepter):
+        self.accepter = accepter
+        self.calls = 0
+        self.accepts = 0
+
+    def init_cache(self, u):
+        return self.accepter.init_cache(u)
+
+    def log_ratio(self, cache_u, u, v):
+        return self.accepter.log_ratio(cache_u, u, v)
+
+    def record(self, n_calls, n_accepts):
+        self.calls += int(n_calls)
+        self.accepts += int(n_accepts)
+
+    @property
+    def acceptance_rate(self):
+        return self.accepts / max(self.calls, 1)
+
+
+# ------------------------------------------------------------------ sampler
+@pytree_dataclass
+class _MHState:
+    position: jnp.ndarray
+    cache: jnp.ndarray
+
+
+class MCMCSampler:
+    """Reference-parity driver: ``run(u0, n_samples, burn_in,
+    sample_interval)`` → (n_samples, dim) ndarray (single chain) or
+    (n_samples, n_chains, dim) with ``n_chains > 1``.
+
+    The proposer/accepter pair is fused into one jitted scan (SURVEY.md
+    §3.1's per-step Python loop is gone). ``rng`` is a jax PRNG key or int
+    seed — the reference's ``np.random.Generator`` has no TPU equivalent.
+    """
+
+    def __init__(self, proposer, accepter, rng):
+        self.proposer = proposer
+        self.accepter = accepter
+        self.key = rng if hasattr(rng, "dtype") else jax.random.key(int(rng))
+
+    def _kernel(self):
+        proposer, accepter = self.proposer, self.accepter
+
+        def kernel(key, state):
+            key_prop, key_acc = jax.random.split(key)
+            v = proposer.propose(key_prop, state.position)
+            log_ratio, cache_v = accepter.log_ratio(state.cache, state.position, v)
+            new_state, accepted, accept_prob = mh_select(
+                key_acc, log_ratio, state, _MHState(position=v, cache=cache_v)
+            )
+            return new_state, MHInfo(
+                accepted=accepted, accept_prob=accept_prob, proposal=v
+            )
+
+        return kernel
+
+    def run(self, u0, n_samples, burn_in=0, sample_interval=1, n_chains=1):
+        u0 = jnp.asarray(u0, dtype=jnp.result_type(float))
+        batched = u0.ndim == 2
+        if not batched:
+            u0 = jnp.broadcast_to(u0, (n_chains,) + u0.shape)
+        init = jax.vmap(lambda p: _MHState(position=p, cache=self.accepter.init_cache(p)))
+        state = init(u0)
+        _, samples, infos = driver.sample_chains(
+            self._kernel(),
+            state,
+            self.key,
+            n_samples=n_samples,
+            burn_in=burn_in,
+            thin=sample_interval,
+        )
+        if isinstance(self.accepter, CountedAccepter):
+            n_steps = burn_in + n_samples * sample_interval
+            total = n_steps * u0.shape[0]
+            # info means are per retained step over chains: recover accept count
+            rate = float(jnp.mean(infos.accepted))
+            self.accepter.record(total, round(rate * total))
+        out = np.asarray(samples)
+        if not batched and n_chains == 1:
+            return out[:, 0, :]
+        return out
