@@ -104,6 +104,63 @@ def _variance_inv_mass(positions, jitter=1e-6):
     return 1.0 / (jnp.var(positions, axis=0) + jitter)
 
 
+@partial(jax.jit, static_argnames=("log_density_fn", "num_steps"))
+def map_localize(log_density_fn, positions, num_steps=200, learning_rate=0.05):
+    """Move each chain toward a posterior mode by vmapped Adam ascent on
+    log π before MCMC warmup. For concentrated / mildly multimodal
+    posteriors (sharp ODE misfits), prior-initialized chains otherwise strand
+    in bad basins and inflate R̂ (runner uses this for gradient kernels)."""
+    import optax
+
+    opt = optax.adam(learning_rate)
+
+    def ascend(p0):
+        os0 = opt.init(p0)
+
+        def body(carry, _):
+            p, os = carry
+            g = jax.grad(log_density_fn)(p)
+            updates, os = opt.update(jax.tree_util.tree_map(jnp.negative, g), os)
+            return (optax.apply_updates(p, updates), os), None
+
+        (p, _), _ = jax.lax.scan(body, (p0, os0), None, length=num_steps)
+        return p
+
+    return jax.vmap(ascend)(positions)
+
+
+@partial(jax.jit, static_argnames=("log_density_fn", "num_steps"))
+def warmup_mala(
+    log_density_fn,
+    state,
+    base_key,
+    num_steps=500,
+    initial_step_size=0.05,
+    target_accept=0.574,
+):
+    """Adapt MALA step size (dual averaging) + DENSE preconditioner Σ = LLᵀ
+    from the cross-chain covariance. Returns (state, step_size, chol)."""
+    n_chains, dim = state.position.shape
+
+    def body(carry, step_idx):
+        st, das, chol = carry
+        kernel = mala.build_kernel(
+            log_density_fn, step_size=da.current(das), precond=chol
+        )
+        keys = chain_keys(base_key, step_idx, n_chains)
+        st, info = jax.vmap(kernel)(keys, st)
+        das = da.update(das, jnp.mean(info.accept_prob), target=target_accept)
+        chol = jnp.linalg.cholesky(_pooled_cov(st.position))
+        return (st, das, chol), None
+
+    (state, das, chol), _ = jax.lax.scan(
+        body,
+        (state, da.init(initial_step_size), jnp.eye(dim, dtype=state.position.dtype)),
+        jnp.arange(num_steps),
+    )
+    return state, da.final(das), chol
+
+
 @partial(
     jax.jit,
     static_argnames=("log_density_fn", "num_steps", "num_integration_steps"),

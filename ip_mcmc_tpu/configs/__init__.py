@@ -1,0 +1,262 @@
+"""Named benchmark configurations (SURVEY.md §5.6, BASELINE.json `configs`).
+
+Each BASELINE config is a registered builder returning a ``Problem`` — data
+synthesized with fixed seeds, so every named benchmark is reproducible via
+``python -m ip_mcmc_tpu.run --config <name>``:
+
+1. gauss2d_rwm     — RWM on a 2D Gaussian posterior (analytic likelihood)
+2. lingauss_pcn    — pCN on a linear-Gaussian IP with KL-truncated GP prior
+3. ode_mala / ode_nuts — MALA / NUTS on an ODE (Lotka–Volterra) forward model
+4. darcy_pcn_4096  — pCN on Darcy-flow coefficient inversion, 64-dim KL,
+                     4096 parallel chains
+5. darcy_smc       — adaptive tempered SMC on the Darcy inverse problem
++  burgers_pcn     — the reference's headline problem class: conservation-law
+                     initial-data inversion (derivative-free pCN)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ip_mcmc_tpu import distributions as dist
+from ip_mcmc_tpu import potentials
+from ip_mcmc_tpu.models import burgers, darcy, kl, linear, ode
+
+
+@dataclasses.dataclass
+class Problem:
+    name: str
+    dim: int
+    prior: Any
+    potential_fn: Callable  # Φ(u), single particle
+    kernel: str  # rwm | pcn | mala | hmc | nuts | smc
+    kernel_params: dict
+    n_chains: int
+    n_samples: int
+    burn_in: int
+    thin: int = 1
+    data: Optional[np.ndarray] = None
+    truth: Optional[np.ndarray] = None
+    notes: str = ""
+
+    @property
+    def log_density_fn(self):
+        return potentials.posterior_log_density(self.potential_fn, self.prior)
+
+    def init_positions(self, key, n=None):
+        return self.prior.sample(key, (n or self.n_chains,))
+
+
+REGISTRY: dict = {}
+
+
+def register(fn):
+    REGISTRY[fn.__name__] = fn
+    return fn
+
+
+def build(name: str, **overrides) -> Problem:
+    if name not in REGISTRY:
+        raise KeyError(f"unknown config '{name}'; have {sorted(REGISTRY)}")
+    p = REGISTRY[name]()
+    for k, v in overrides.items():
+        if v is not None:
+            setattr(p, k, v)
+    return p
+
+
+@register
+def gauss2d_rwm() -> Problem:
+    """BASELINE config 1: RWM, 2D Gaussian posterior, analytic likelihood."""
+    mean = jnp.array([1.0, -0.5])
+    cov = jnp.array([[2.0, 0.8], [0.8, 1.0]])
+    target = dist.Gaussian.from_covariance(mean, cov)
+    prior = dist.DiagGaussian(mean=jnp.zeros(2), scale=10.0 * jnp.ones(2))
+    phi = potentials.analytic_potential(target.log_prob)
+    return Problem(
+        name="gauss2d_rwm",
+        dim=2,
+        prior=prior,
+        potential_fn=phi,
+        kernel="rwm",
+        kernel_params={"step_size": 1.0, "adapt": True},
+        n_chains=1024,
+        n_samples=1000,
+        burn_in=500,
+        truth=np.asarray(mean),
+        notes="analytic target; truth = exact posterior mean (≈, flat prior)",
+    )
+
+
+@register
+def lingauss_pcn() -> Problem:
+    """BASELINE config 2: pCN, linear-Gaussian IP, KL-truncated GP prior."""
+    d, m = 32, 16
+    lam = kl.laplacian_eigenvalues(d, alpha=1.0, scale=4.0)
+    prior = dist.gaussian_kl_prior(lam)
+    rng = np.random.default_rng(42)
+    A = jnp.asarray(rng.standard_normal((m, d)) / np.sqrt(d), jnp.float32)
+    u_true = prior.sample(jax.random.key(100))
+    noise = dist.DiagGaussian(mean=jnp.zeros(m), scale=0.05 * jnp.ones(m))
+    y = A @ u_true + noise.sample(jax.random.key(101))
+    phi = potentials.misfit_potential(linear.make_forward(A), y, noise)
+    exact_mean, exact_cov = linear.conjugate_posterior(
+        np.asarray(A), np.zeros(d), np.asarray(lam), 0.05**2 * np.ones(m), np.asarray(y)
+    )
+    return Problem(
+        name="lingauss_pcn",
+        dim=d,
+        prior=prior,
+        potential_fn=phi,
+        kernel="pcn",
+        kernel_params={"beta": 0.2, "adapt": True},
+        n_chains=2048,
+        n_samples=1000,
+        burn_in=500,
+        data=np.asarray(y),
+        truth=exact_mean,
+        notes="closed-form posterior available (conjugate)",
+    )
+
+
+def _lv_problem(kernel: str, kernel_params: dict, n_chains: int) -> Problem:
+    y0 = jnp.array([1.0, 0.5])
+    dt, n_steps = 0.05, 200  # t ∈ [0, 10]
+    obs_idx = np.arange(10, 201, 10)  # every 0.5 time units — identifiable
+    fwd = ode.make_lotka_volterra_forward(y0, dt, n_steps, obs_idx)
+    theta_true = jnp.log(jnp.array([0.8, 1.2, 0.9, 1.1]))
+    noise = dist.DiagGaussian(
+        mean=jnp.zeros(len(obs_idx) * 2), scale=0.1 * jnp.ones(len(obs_idx) * 2)
+    )
+    y = fwd(theta_true) + noise.sample(jax.random.key(200))
+    prior = dist.DiagGaussian(mean=jnp.zeros(4), scale=0.3 * jnp.ones(4))
+    phi = potentials.misfit_potential(fwd, y, noise)
+    return Problem(
+        name=f"ode_{kernel}",
+        dim=4,
+        prior=prior,
+        potential_fn=phi,
+        kernel=kernel,
+        kernel_params=kernel_params,
+        n_chains=n_chains,
+        n_samples=1000,
+        burn_in=500,
+        data=np.asarray(y),
+        truth=np.asarray(theta_true),
+        notes="Lotka-Volterra log-rate inference; smooth, AD through RK4 scan",
+    )
+
+
+@register
+def ode_mala() -> Problem:
+    """BASELINE config 3a: MALA on the ODE forward model."""
+    return _lv_problem(
+        "mala", {"step_size": 0.05, "adapt": True, "map_init": 300}, 1024
+    )
+
+
+@register
+def ode_nuts() -> Problem:
+    """BASELINE config 3b: NUTS on the ODE forward model."""
+    p = _lv_problem(
+        "nuts",
+        {"step_size": 0.05, "max_depth": 8, "adapt": True, "map_init": 300},
+        256,
+    )
+    p.n_samples = 500
+    p.burn_in = 200
+    return p
+
+
+def _darcy_problem() -> tuple:
+    fwd, aux = darcy.make_darcy_forward(
+        n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+    )
+    K = 64
+    prior = dist.DiagGaussian(mean=jnp.zeros(K), scale=jnp.ones(K))  # whitened
+    u_true = prior.sample(jax.random.key(300))
+    m = 16
+    noise = dist.DiagGaussian(mean=jnp.zeros(m), scale=0.002 * jnp.ones(m))
+    y = fwd(u_true) + noise.sample(jax.random.key(301))
+    phi = potentials.misfit_potential(fwd, y, noise)
+    return phi, prior, y, u_true
+
+
+@register
+def darcy_pcn_4096() -> Problem:
+    """BASELINE config 4: Darcy coefficient inversion, 64-dim KL, 4096 chains."""
+    phi, prior, y, u_true = _darcy_problem()
+    return Problem(
+        name="darcy_pcn_4096",
+        dim=64,
+        prior=prior,
+        potential_fn=phi,
+        kernel="pcn",
+        kernel_params={"beta": 0.08, "adapt": True},
+        n_chains=4096,
+        n_samples=500,
+        burn_in=500,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="elliptic PDE inversion; whitened KL coordinates",
+    )
+
+
+@register
+def darcy_smc() -> Problem:
+    """BASELINE config 5: adaptive tempered SMC on the Darcy inverse problem."""
+    phi, prior, y, u_true = _darcy_problem()
+    return Problem(
+        name="darcy_smc",
+        dim=64,
+        prior=prior,
+        potential_fn=phi,
+        kernel="smc",
+        kernel_params={
+            "ess_target": 0.5,
+            "mutation_steps": 5,
+            "pcn_step": 0.15,
+            "max_stages": 60,
+        },
+        n_chains=4096,  # particles
+        n_samples=0,
+        burn_in=0,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="particles shard across hosts; collective resampling",
+    )
+
+
+@register
+def burgers_pcn() -> Problem:
+    """Reference headline problem class: Burgers initial-data inversion."""
+    fwd, aux = burgers.make_burgers_forward(
+        n_cells=128, n_modes=16, alpha=1.5, field_scale=1.0, t_final=0.2,
+        mean_profile=np.sin(2 * np.pi * (np.arange(128) + 0.5) / 128),
+    )
+    K = 16
+    prior = dist.DiagGaussian(mean=jnp.zeros(K), scale=jnp.ones(K))
+    u_true = prior.sample(jax.random.key(400))
+    m = 16
+    noise = dist.DiagGaussian(mean=jnp.zeros(m), scale=0.02 * jnp.ones(m))
+    y = fwd(u_true) + noise.sample(jax.random.key(401))
+    phi = potentials.misfit_potential(fwd, y, noise)
+    return Problem(
+        name="burgers_pcn",
+        dim=K,
+        prior=prior,
+        potential_fn=phi,
+        kernel="pcn",
+        kernel_params={"beta": 0.15, "adapt": True},
+        n_chains=2048,
+        n_samples=500,
+        burn_in=500,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="shock-forming forward map: derivative-free kernels only",
+    )

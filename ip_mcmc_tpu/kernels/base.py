@@ -34,6 +34,11 @@ def mh_select(key, log_accept_ratio, current, proposal):
     decision is a single uniform draw + ``tree_map`` of ``jnp.where`` — no
     branches, so it fuses cleanly under vmap.
     """
+    # NaN ratio (inf−inf energies from a diverged proposal) must REJECT, not
+    # poison downstream statistics (DA adaptation averages accept_prob).
+    log_accept_ratio = jnp.where(
+        jnp.isnan(log_accept_ratio), -jnp.inf, log_accept_ratio
+    )
     log_ratio = jnp.minimum(log_accept_ratio, 0.0)
     accept_prob = jnp.exp(log_ratio)
     log_u = jnp.log(jax.random.uniform(key, (), dtype=log_ratio.dtype))

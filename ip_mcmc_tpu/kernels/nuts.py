@@ -136,6 +136,8 @@ def build_kernel(
                 z_new = (q, p, ld, g)
                 h = energy(ld, p)
                 delta_h = h - h0
+                # NaN energy (overflowed leapfrog) counts as a divergence
+                delta_h = jnp.where(jnp.isnan(delta_h), jnp.inf, delta_h)
                 log_w = -delta_h
                 divergent_new = delta_h > divergence_threshold
                 # dual-averaging statistic: min(1, exp(-Δh)) per leaf

@@ -43,6 +43,18 @@ def lotka_volterra_field(y, theta):
     return jnp.stack([alpha * x - beta * x * z, delta * x * z - gamma * z])
 
 
+def lotka_volterra_log_field(z, theta):
+    """LV in log-population coordinates z = log(x, y):
+    dz₁ = α − β e^{z₂}, dz₂ = δ e^{z₁} − γ.
+
+    Positivity is unconditional and orbits stay bounded, so the RK4 solve is
+    stable for the whole prior range — without this, prior-typical rate
+    draws blow up the linear-coordinate integration and freeze MALA/NUTS
+    chains at non-finite potentials."""
+    alpha, beta, gamma, delta = jnp.exp(theta)
+    return jnp.stack([alpha - beta * jnp.exp(z[1]), delta * jnp.exp(z[0]) - gamma])
+
+
 def make_lotka_volterra_forward(
     y0, dt, n_steps, obs_indices, obs_species=(0, 1), remat=False
 ):
@@ -55,11 +67,13 @@ def make_lotka_volterra_forward(
     obs_indices = jnp.asarray(obs_indices)
     species = jnp.asarray(obs_species)
 
+    z0 = jnp.log(y0)
+
     def forward(theta):
         traj = rk4_integrate(
-            lotka_volterra_field, y0, dt, n_steps, params=theta, remat=remat
+            lotka_volterra_log_field, z0, dt, n_steps, params=theta, remat=remat
         )
-        return traj[obs_indices][:, species].reshape(-1)
+        return jnp.exp(traj[obs_indices][:, species]).reshape(-1)
 
     return forward
 

@@ -1,0 +1,45 @@
+"""CLI entry: ``python -m ip_mcmc_tpu.run --config darcy_pcn_4096``.
+
+Reference has no CLI (experiments are hard-coded scripts, SURVEY.md §5.6);
+this makes each BASELINE config a one-command reproducible run with JSON
+metrics on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+
+
+def main(argv=None):
+    from ip_mcmc_tpu import configs, runner
+
+    ap = argparse.ArgumentParser(description="ip_mcmc_tpu benchmark runner")
+    ap.add_argument("--config", required=True, choices=sorted(configs.REGISTRY))
+    ap.add_argument("--n-chains", type=int, default=None)
+    ap.add_argument("--n-samples", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--profile-dir", default=None, help="jax.profiler trace dir")
+    ap.add_argument(
+        "--list", action="store_true", help="list configs and exit"
+    )
+    args = ap.parse_args(argv)
+
+    problem = configs.build(args.config)
+    metrics = runner.run_problem(
+        problem,
+        key=jax.random.key(args.seed),
+        n_chains=args.n_chains,
+        n_samples=args.n_samples,
+        profile_dir=args.profile_dir,
+    )
+    json.dump(metrics, sys.stdout)
+    sys.stdout.write("\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,208 @@
+"""Problem runner: config → (warmup) → sampling → on-device diagnostics.
+
+The reproducible entry for every named BASELINE config (used by the CLI,
+the benchmark harness, and tests). Returns a JSON-able metrics dict:
+wall-clock split (compile vs run), chain-steps/s, multi-chain ESS (same
+estimator as the NumPy oracle), ESS/sec, split-R̂, acceptance rate.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ip_mcmc_tpu import diagnostics, driver, smc
+from ip_mcmc_tpu.adapt import (
+    warmup,
+    warmup_hmc,
+    warmup_mala,
+    warmup_nuts,
+    warmup_pcn,
+    warmup_rwm,
+)
+from ip_mcmc_tpu.kernels import hmc, mala, nuts, pcn, rwm
+
+
+def _build_kernel_and_state(problem, key, n_chains):
+    """Returns (kernel, state, warmup_time_s). Warmup replaces burn-in when
+    kernel_params['adapt'] is set (adaptation doubles as burn-in)."""
+    kp = dict(problem.kernel_params)
+    adapt = kp.pop("adapt", False)
+    map_init = kp.pop("map_init", 0)
+    key_init, key_warm = jax.random.split(key)
+    positions = problem.init_positions(key_init, n_chains)
+    t0 = time.perf_counter()
+    if map_init and problem.kernel in ("mala", "hmc", "nuts"):
+        positions = warmup.map_localize(
+            problem.log_density_fn, positions, num_steps=map_init
+        )
+
+    if problem.kernel == "rwm":
+        logpi = problem.log_density_fn
+        state = driver.init_chains(rwm.init, positions, logpi)
+        if adapt:
+            state, step_size, chol = warmup_rwm(
+                logpi, state, key_warm, num_steps=problem.burn_in or 300,
+                initial_step_size=kp.get("step_size", 0.5),
+            )
+            kernel = rwm.build_kernel(logpi, step_size=step_size, scale=chol)
+        else:
+            kernel = rwm.build_kernel(logpi, **kp)
+    elif problem.kernel == "pcn":
+        phi, prior = problem.potential_fn, problem.prior
+        state = driver.init_chains(pcn.init, positions, phi)
+        if adapt:
+            state, beta = warmup_pcn(
+                phi, prior, state, key_warm, num_steps=problem.burn_in or 300,
+                initial_beta=kp.get("beta", 0.2),
+            )
+            kernel = pcn.build_kernel(phi, prior, beta=beta)
+        else:
+            kernel = pcn.build_kernel(phi, prior, **kp)
+    elif problem.kernel == "mala":
+        logpi = problem.log_density_fn
+        state = driver.init_chains(mala.init, positions, logpi)
+        if adapt:
+            state, eps, precond = warmup_mala(
+                logpi, state, key_warm, num_steps=problem.burn_in or 300,
+                initial_step_size=kp.get("step_size", 0.05),
+            )
+            kernel = mala.build_kernel(logpi, step_size=eps, precond=precond)
+        else:
+            kernel = mala.build_kernel(logpi, **kp)
+    elif problem.kernel == "hmc":
+        logpi = problem.log_density_fn
+        state = driver.init_chains(hmc.init, positions, logpi)
+        nint = kp.get("num_integration_steps", 8)
+        if adapt:
+            state, eps, inv_mass = warmup_hmc(
+                logpi, state, key_warm, num_steps=problem.burn_in or 300,
+                num_integration_steps=nint,
+                initial_step_size=kp.get("step_size", 0.1),
+            )
+            kernel = hmc.build_kernel(
+                logpi, step_size=eps, num_integration_steps=nint, inv_mass=inv_mass
+            )
+        else:
+            kernel = hmc.build_kernel(logpi, **kp)
+    elif problem.kernel == "nuts":
+        logpi = problem.log_density_fn
+        state = driver.init_chains(nuts.init, positions, logpi)
+        md = kp.get("max_depth", 8)
+        if adapt:
+            state, eps, inv_mass = warmup_nuts(
+                logpi, state, key_warm, num_steps=problem.burn_in or 200,
+                max_depth=md, initial_step_size=kp.get("step_size", 0.1),
+            )
+            kernel = nuts.build_kernel(
+                logpi, step_size=eps, max_depth=md, inv_mass=inv_mass
+            )
+        else:
+            kernel = nuts.build_kernel(logpi, **kp)
+    else:
+        raise ValueError(f"unknown kernel {problem.kernel}")
+
+    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+    return kernel, state, time.perf_counter() - t0
+
+
+def run_problem(problem, key=None, n_chains=None, n_samples=None, profile_dir=None):
+    """Execute a Problem end-to-end; returns a metrics dict."""
+    key = jax.random.key(0) if key is None else key
+    n_chains = n_chains or problem.n_chains
+    n_samples = n_samples or problem.n_samples
+
+    if problem.kernel == "smc":
+        return _run_smc(problem, key, n_chains)
+
+    key_build, key_run = jax.random.split(key)
+    kernel, state, warm_s = _build_kernel_and_state(problem, key_build, n_chains)
+
+    adapted = problem.kernel_params.get("adapt", False)
+    burn = 0 if adapted else problem.burn_in
+
+    def _sample():
+        return driver.sample_chains(
+            kernel, state, key_run,
+            n_samples=n_samples, burn_in=burn, thin=problem.thin,
+        )
+
+    # compile (cached afterwards), then timed run
+    t0 = time.perf_counter()
+    out = _sample()
+    jax.block_until_ready(out[1])
+    compile_and_run_s = time.perf_counter() - t0
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+    t0 = time.perf_counter()
+    final_state, samples, infos = _sample()
+    jax.block_until_ready(samples)
+    run_s = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+
+    total_steps = (burn + n_samples * problem.thin) * n_chains
+    summ = diagnostics.summarize(samples)
+    flat_mean = np.asarray(summ["mean"])
+    metrics = {
+        "config": problem.name,
+        "kernel": problem.kernel,
+        "n_chains": int(n_chains),
+        "n_samples": int(n_samples),
+        "dim": int(problem.dim),
+        "warmup_s": warm_s,
+        "compile_s": max(compile_and_run_s - run_s, 0.0),
+        "run_s": run_s,
+        "steps_per_s": total_steps / run_s,
+        "min_ess": float(summ["min_ess"]),
+        "ess_per_s": float(summ["min_ess"]) / run_s,
+        "max_rhat": float(summ["max_rhat"]),
+        "posterior_mean": flat_mean.tolist(),
+    }
+    if hasattr(infos, "accepted"):
+        metrics["accept_rate"] = float(np.asarray(infos.accepted).mean())
+    if hasattr(infos, "accept_prob") and problem.kernel == "nuts":
+        metrics["accept_rate"] = float(np.asarray(infos.accept_prob).mean())
+        metrics["mean_tree_depth"] = float(np.asarray(infos.depth).mean())
+    if problem.truth is not None and problem.name in ("lingauss_pcn",):
+        metrics["mean_error_vs_exact"] = float(
+            np.abs(flat_mean - problem.truth).max()
+        )
+    return metrics
+
+
+def _run_smc(problem, key, n_particles):
+    kp = dict(problem.kernel_params)
+    t0 = time.perf_counter()
+    state, info = smc.run(
+        problem.potential_fn, problem.prior, key, n_particles=n_particles, **kp
+    )
+    jax.block_until_ready(state.particles)
+    compile_and_run = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state, info = smc.run(
+        problem.potential_fn, problem.prior, key, n_particles=n_particles, **kp
+    )
+    jax.block_until_ready(state.particles)
+    run_s = time.perf_counter() - t0
+    n_stages = int(info.n_stages)
+    return {
+        "config": problem.name,
+        "kernel": "smc",
+        "n_particles": int(n_particles),
+        "dim": int(problem.dim),
+        "compile_s": max(compile_and_run - run_s, 0.0),
+        "run_s": run_s,
+        "n_stages": n_stages,
+        "log_evidence": float(state.log_z),
+        "final_beta": float(state.beta),
+        "mean_mutation_accept": float(
+            np.nanmean(np.asarray(info.accept_rates)[:n_stages])
+        ),
+        "posterior_mean": np.asarray(state.particles).mean(axis=0).tolist(),
+        "particles_per_s": n_particles * n_stages / run_s,
+    }

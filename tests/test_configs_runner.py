@@ -1,0 +1,77 @@
+"""Config registry + runner: every named BASELINE config builds and runs
+end-to-end (small overrides), metrics are sane."""
+
+import jax
+import numpy as np
+import pytest
+
+from ip_mcmc_tpu import configs, runner
+
+
+def test_registry_contains_baseline_configs():
+    expected = {
+        "gauss2d_rwm",      # BASELINE config 1
+        "lingauss_pcn",     # config 2
+        "ode_mala",         # config 3a
+        "ode_nuts",         # config 3b
+        "darcy_pcn_4096",   # config 4
+        "darcy_smc",        # config 5
+        "burgers_pcn",      # reference headline problem class
+    }
+    assert expected <= set(configs.REGISTRY)
+
+
+def test_unknown_config_raises():
+    with pytest.raises(KeyError):
+        configs.build("nope")
+
+
+@pytest.mark.parametrize(
+    "name,n_chains,n_samples",
+    [
+        ("gauss2d_rwm", 64, 100),
+        ("lingauss_pcn", 64, 100),
+        ("burgers_pcn", 32, 40),
+    ],
+)
+def test_mcmc_configs_run(name, n_chains, n_samples):
+    p = configs.build(name)
+    m = runner.run_problem(
+        p, key=jax.random.key(0), n_chains=n_chains, n_samples=n_samples
+    )
+    assert m["config"] == name
+    assert m["run_s"] > 0
+    assert np.isfinite(m["min_ess"]) and m["min_ess"] > 0
+    assert 0.0 <= m.get("accept_rate", 0.5) <= 1.0
+
+
+def test_lingauss_matches_exact_posterior():
+    p = configs.build("lingauss_pcn")
+    m = runner.run_problem(p, key=jax.random.key(0), n_chains=512, n_samples=400)
+    assert m["mean_error_vs_exact"] < 0.05
+
+
+def test_darcy_pcn_small():
+    p = configs.build("darcy_pcn_4096")
+    m = runner.run_problem(p, key=jax.random.key(0), n_chains=64, n_samples=30)
+    assert np.isfinite(m["min_ess"])
+    assert m["accept_rate"] > 0.02
+
+
+def test_darcy_smc_small():
+    p = configs.build("darcy_smc")
+    p.kernel_params["mutation_steps"] = 2
+    m = runner.run_problem(p, key=jax.random.key(0), n_chains=128)
+    assert m["final_beta"] == 1.0
+    assert np.isfinite(m["log_evidence"])
+    assert m["n_stages"] >= 2
+
+
+def test_ode_mala_converges():
+    p = configs.build("ode_mala")
+    m = runner.run_problem(p, key=jax.random.key(0), n_chains=64, n_samples=300)
+    assert m["max_rhat"] < 1.2
+    # posterior concentrates near the true log-rates
+    np.testing.assert_allclose(
+        np.asarray(m["posterior_mean"]), p.truth, atol=0.25
+    )
