@@ -31,6 +31,10 @@ def log(*a):
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.ipx_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from benchmarks.oracle_darcy import OracleDarcyPCN
@@ -61,32 +65,39 @@ def main():
     prior = distributions.DiagGaussian(mean=jnp.zeros(64), scale=jnp.ones(64))
     kernel = pcn.build_kernel(phi, prior, beta=BETA)
 
-    key_i, key_b, key_r = jax.random.split(jax.random.key(0), 3)
+    key_i, key_r = jax.random.split(jax.random.key(0), 2)
     state = driver.init_chains(pcn.init, prior.sample(key_i, (N_CHAINS,)), phi)
 
-    # burn-in (also compiles); then the timed sampling program
-    t0 = time.time()
-    state, _, _ = driver.sample_chains(
-        kernel, state, key_b, n_samples=1, burn_in=BURN
-    )
-    jax.block_until_ready(state.position)
-    log(f"compile+burn-in: {time.time()-t0:.1f}s")
+    # ONE compiled program: burn-in + sampling in a single scan; the first
+    # BURN retained samples are discarded host-side
+    total = BURN + N_SAMPLES
+
+    def run(st, key):
+        return driver.sample_chains(kernel, st, key, n_samples=total, burn_in=0)
 
     t0 = time.time()
-    state2, samples, infos = driver.sample_chains(
-        kernel, state, key_r, n_samples=N_SAMPLES, burn_in=0
-    )
-    jax.block_until_ready(samples)
+    _, s_warm, _ = run(state, key_i)
+    jax.block_until_ready(s_warm)
+    log(f"compile+first run: {time.time()-t0:.1f}s")
+    del s_warm
+
+    t0 = time.time()
+    state2, samples_all, infos = run(state, key_r)
+    jax.block_until_ready(samples_all)
     tpu_run_s = time.time() - t0
-    tpu_steps_per_s = N_CHAINS * N_SAMPLES / tpu_run_s
-    accept = float(np.asarray(infos.accepted).mean())
+    tpu_steps_per_s = N_CHAINS * total / tpu_run_s
+    samples = samples_all[BURN:]
+    accept = float(np.asarray(infos.accepted)[BURN:].mean())
 
     ess = np.asarray(diagnostics.ess_per_param(samples))
     min_ess = float(ess.min())
     ess_per_step_chain = min_ess / (N_CHAINS * N_SAMPLES)
-    tpu_ess_per_s = min_ess / tpu_run_s
+    # steady-state throughput: attribute only the sampling window's share of
+    # the wall clock to the retained samples
+    sampling_s = tpu_run_s * N_SAMPLES / total
+    tpu_ess_per_s = min_ess / sampling_s
     log(
-        f"TPU: {tpu_run_s:.2f}s for {N_CHAINS}x{N_SAMPLES} steps "
+        f"TPU: {tpu_run_s:.2f}s for {N_CHAINS}x{total} steps "
         f"({tpu_steps_per_s:,.0f} steps/s), accept={accept:.3f}, "
         f"min ESS={min_ess:,.0f} -> {tpu_ess_per_s:,.1f} ESS/s"
     )

