@@ -31,10 +31,11 @@ def godunov_flux(u_left, u_right):
 
 
 def step_burgers(state, dt_over_h):
-    """One periodic FV step: u_i -= dt/h (F_{i+1/2} − F_{i−1/2})."""
-    u_right = jnp.roll(state, -1)
+    """One periodic FV step: u_i -= dt/h (F_{i+1/2} − F_{i−1/2}).
+    Cell axis is the LAST axis — works on (n,) or batched (chains, n)."""
+    u_right = jnp.roll(state, -1, axis=-1)
     flux_right = godunov_flux(state, u_right)  # F_{i+1/2}
-    flux_left = jnp.roll(flux_right, 1)  # F_{i−1/2}
+    flux_left = jnp.roll(flux_right, 1, axis=-1)  # F_{i−1/2}
     return state - dt_over_h * (flux_right - flux_left)
 
 
@@ -111,3 +112,25 @@ def make_burgers_forward(
         "mean": mean,
     }
     return forward, aux
+
+
+def make_batched_misfit(aux, data, noise_scale):
+    """Batched misfit Φ for a (block, K) coefficient batch — the Pallas-safe
+    form consumed by ops.fused_pcn_chain: the ENTIRE FV time loop runs
+    inside the fused kernel (chain state + solution grid resident in VMEM).
+    """
+    data = jnp.asarray(data, jnp.float32)
+    noise_scale = jnp.asarray(noise_scale, jnp.float32)
+    basis = aux["scaled_basis"]
+    mean = aux["mean"]
+    obs = aux["obs_indices"]
+    dt, n_steps = aux["dt"], aux["n_steps"]
+
+    def phi(U):  # (block, K) -> (block,)
+        u0 = mean[None, :] + U @ basis
+        final = integrate(u0, dt, n_steps)
+        pred = final[:, obs]
+        r = (data[None, :] - pred) / noise_scale
+        return 0.5 * jnp.sum(r * r, axis=-1)
+
+    return phi
