@@ -15,7 +15,21 @@ Layers (mirroring the reference's layer map, SURVEY.md §1.2):
 - api            : reference-compatible object layer (MCMCSampler, ...)
 """
 
-from ip_mcmc_tpu import diagnostics, distributions, driver, kernels, potentials
+from ip_mcmc_tpu import (
+    adapt,
+    api,
+    configs,
+    diagnostics,
+    distributions,
+    driver,
+    kernels,
+    models,
+    observations,
+    parallel,
+    potentials,
+    smc,
+    vi,
+)
 from ip_mcmc_tpu.distributions import (
     DiagGaussian,
     Gaussian,

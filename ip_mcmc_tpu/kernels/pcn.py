@@ -44,14 +44,16 @@ def build_kernel(potential_fn, prior, beta):
 
     def kernel(key, state):
         key_prop, key_acc = jax.random.split(key)
-        contraction = jnp.sqrt(1.0 - beta * beta)
-        xi = prior.sample_centered(key_prop)
-        proposal = (
-            prior.mean
-            + contraction * (state.position - prior.mean)
-            + beta * xi
-        )
-        proposal_phi = potential_fn(proposal)
+        with jax.named_scope("pcn_propose"):
+            contraction = jnp.sqrt(1.0 - beta * beta)
+            xi = prior.sample_centered(key_prop)
+            proposal = (
+                prior.mean
+                + contraction * (state.position - prior.mean)
+                + beta * xi
+            )
+        with jax.named_scope("forward_potential"):
+            proposal_phi = potential_fn(proposal)
         new_state, accepted, accept_prob = mh_select(
             key_acc,
             state.potential - proposal_phi,

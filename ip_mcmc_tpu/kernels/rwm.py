@@ -35,17 +35,19 @@ def build_kernel(log_density_fn, step_size, scale=None):
 
     def kernel(key, state):
         key_prop, key_acc = jax.random.split(key)
-        xi = jax.random.normal(
-            key_prop, state.position.shape, dtype=state.position.dtype
-        )
-        if scale is None:
-            delta = step_size * xi
-        elif jnp.ndim(scale) == 1:
-            delta = step_size * scale * xi
-        else:
-            delta = step_size * (scale @ xi)
-        proposal = state.position + delta
-        proposal_ld = log_density_fn(proposal)
+        with jax.named_scope("rwm_propose"):
+            xi = jax.random.normal(
+                key_prop, state.position.shape, dtype=state.position.dtype
+            )
+            if scale is None:
+                delta = step_size * xi
+            elif jnp.ndim(scale) == 1:
+                delta = step_size * scale * xi
+            else:
+                delta = step_size * (scale @ xi)
+            proposal = state.position + delta
+        with jax.named_scope("forward_potential"):
+            proposal_ld = log_density_fn(proposal)
         new_state, accepted, accept_prob = mh_select(
             key_acc,
             proposal_ld - state.log_density,

@@ -22,6 +22,10 @@ def main(argv=None):
     ap.add_argument("--n-chains", type=int, default=None)
     ap.add_argument("--n-samples", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--devices", type=int, default=None,
+        help="shard chains over the first N devices (default: no sharding)",
+    )
     ap.add_argument("--profile-dir", default=None, help="jax.profiler trace dir")
     ap.add_argument(
         "--list", action="store_true", help="list configs and exit"
@@ -29,12 +33,18 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     problem = configs.build(args.config)
+    mesh = None
+    if args.devices:
+        from ip_mcmc_tpu import parallel
+
+        mesh = parallel.make_chain_mesh(n_devices=args.devices)
     metrics = runner.run_problem(
         problem,
         key=jax.random.key(args.seed),
         n_chains=args.n_chains,
         n_samples=args.n_samples,
         profile_dir=args.profile_dir,
+        mesh=mesh,
     )
     json.dump(metrics, sys.stdout)
     sys.stdout.write("\n")

@@ -109,17 +109,30 @@ def _build_kernel_and_state(problem, key, n_chains):
     return kernel, state, time.perf_counter() - t0
 
 
-def run_problem(problem, key=None, n_chains=None, n_samples=None, profile_dir=None):
-    """Execute a Problem end-to-end; returns a metrics dict."""
+def run_problem(
+    problem, key=None, n_chains=None, n_samples=None, profile_dir=None, mesh=None
+):
+    """Execute a Problem end-to-end; returns a metrics dict.
+
+    ``mesh``: optional chain mesh — shards the chain/particle axis across
+    devices (XLA partitions the compiled program; SMC runs under
+    ``set_mesh`` so its collectives ride the mesh too)."""
     key = jax.random.key(0) if key is None else key
     n_chains = n_chains or problem.n_chains
     n_samples = n_samples or problem.n_samples
 
     if problem.kernel == "smc":
+        if mesh is not None:
+            with jax.sharding.set_mesh(mesh):
+                return _run_smc(problem, key, n_chains)
         return _run_smc(problem, key, n_chains)
 
     key_build, key_run = jax.random.split(key)
     kernel, state, warm_s = _build_kernel_and_state(problem, key_build, n_chains)
+    if mesh is not None:
+        from ip_mcmc_tpu import parallel
+
+        state = parallel.shard_chains(state, mesh)
 
     adapted = problem.kernel_params.get("adapt", False)
     burn = 0 if adapted else problem.burn_in

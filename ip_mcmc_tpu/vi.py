@@ -136,3 +136,11 @@ def sample(params, key, n_samples):
     else:
         u, _ = _sample_and_logq_fullrank(params, key, n_samples)
     return u
+
+
+def warm_start(params, key, n_chains):
+    """Chain initial positions from the fitted variational posterior — the
+    VI→MCMC warm-start path (cuts burn-in for concentrated posteriors).
+    The fitted covariance factor (``posterior_moments``) doubles as an RWM/
+    MALA proposal preconditioner."""
+    return sample(params, key, n_chains)
