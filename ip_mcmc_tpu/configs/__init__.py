@@ -161,6 +161,18 @@ def ode_mala() -> Problem:
 
 
 @register
+def ode_hmc() -> Problem:
+    """Fixed-trajectory HMC variant of config 3."""
+    p = _lv_problem(
+        "hmc",
+        {"step_size": 0.05, "num_integration_steps": 8, "adapt": True,
+         "map_init": 300},
+        512,
+    )
+    return p
+
+
+@register
 def ode_nuts() -> Problem:
     """BASELINE config 3b: NUTS on the ODE forward model."""
     p = _lv_problem(
