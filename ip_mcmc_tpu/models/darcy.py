@@ -113,7 +113,7 @@ def _operator_diagonal(a, n: int):
     return d
 
 
-def solve_cg(a, f, n: int, n_iters: int = 120):
+def solve_cg(a, f, n: int, n_iters: int = 48):
     """Jacobi-preconditioned CG solve of A(a) p = f, matrix-free, fixed
     iteration count (static shapes), wrapped in ``lax.custom_linear_solve``
     so gradients use the IMPLICIT adjoint solve (same CG, symmetric) rather
@@ -170,7 +170,7 @@ def make_darcy_forward(
     source=None,
     log_a_mean: float = 0.0,
     method: str = "cg",
-    cg_iters: int = 120,
+    cg_iters: int = 48,
 ):
     """Build forward(u): KL coefficients (K,) → pressure at observation cells.
 

@@ -59,11 +59,13 @@ def _mix_key(seed, step, tag):
 
 
 def _uniform01(key, shape):
-    """U(0,1): 24-bit mantissa path (never exactly 0)."""
+    """U(0,1): 24-bit mantissa path (never exactly 0). The uint32→int32
+    hop exists because Mosaic has no direct uint32→f32 cast; the value fits
+    in 24 bits so the signed reinterpretation is lossless."""
     bits = _hash_bits(key, shape)
-    return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + (
-        0.5 / (1 << 24)
-    )
+    return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (
+        1.0 / (1 << 24)
+    ) + (0.5 / (1 << 24))
 
 
 def _normal(key1, key2, shape):
