@@ -108,15 +108,22 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps, blo
     extras = [jnp.asarray(p, jnp.float32) for p in params] + list(pot_consts)
     packed = [_pack2d(e) for e in extras]
     orig_shapes = [tuple(jnp.asarray(e).shape) for e in extras]
+    # scalars travel in SMEM (Mosaic cannot materialize a scalar out of a
+    # VMEM vector block); arrays in VMEM
+    is_scalar = [len(s) == 0 for s in orig_shapes]
     n_params = len(params)
 
     def kernel(seed_ref, pos_ref, *rest):
         extra_refs = rest[: len(extras)]
         out_ref, acc_ref = rest[len(extras) :]
-        vals = [
-            er[:].reshape(s) if tuple(er.shape) != s else er[:]
-            for er, s in zip(extra_refs, orig_shapes)
-        ]
+        vals = []
+        for er, s, sc in zip(extra_refs, orig_shapes, is_scalar):
+            if sc:
+                vals.append(er[0, 0])
+            elif tuple(er.shape) != s:
+                vals.append(er[:].reshape(s))
+            else:
+                vals.append(er[:])
         param_vals = vals[:n_params]
         const_vals = vals[n_params:]
         pot = lambda x: pot_conv(x, *const_vals)
@@ -149,9 +156,11 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps, blo
     grid = (n // block_chains,)
     extra_specs = [
         pl.BlockSpec(
-            p.shape, (lambda i, _nd=p.ndim: (0,) * _nd), memory_space=pltpu.VMEM
+            p.shape,
+            (lambda i, _nd=p.ndim: (0,) * _nd),
+            memory_space=pltpu.SMEM if sc else pltpu.VMEM,
         )
-        for p in packed
+        for p, sc in zip(packed, is_scalar)
     ]
     interpret = jax.default_backend() != "tpu"
     final, acc = pl.pallas_call(
@@ -182,8 +191,6 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps, blo
 
 
 def _rwm_step_builder(pot, step_size):
-    step_size = step_size.reshape(())
-
     def step(pos, phi, rand_n, rand_u):
         xi = rand_n(pos.shape, 0)
         prop = pos + step_size * xi
@@ -200,10 +207,9 @@ def _rwm_step_builder(pot, step_size):
 
 
 def _pcn_step_builder(pot, beta, mean, scale):
-    beta = beta.reshape(())
     contraction = jnp.sqrt(1.0 - beta * beta)
-    mean = mean.reshape(1, -1)
-    scale = scale.reshape(1, -1)
+    mean = mean[None, :]
+    scale = scale[None, :]
 
     def step(pos, phi, rand_n, rand_u):
         xi = scale * rand_n(pos.shape, 0)
