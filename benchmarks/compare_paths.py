@@ -29,7 +29,8 @@ def logpi(x):
 
 
 def pot_batch(x):
-    return 0.5 * jnp.sum((x - MEAN) ** 2 / VAR, axis=-1)
+    # features-first batch: (d, block) -> (block,)
+    return 0.5 * jnp.sum((x - MEAN[:, None]) ** 2 / VAR[:, None], axis=0)
 
 
 def main():

@@ -115,9 +115,10 @@ def make_burgers_forward(
 
 
 def make_batched_misfit(aux, data, noise_scale):
-    """Batched misfit Φ for a (block, K) coefficient batch — the Pallas-safe
-    form consumed by ops.fused_pcn_chain: the ENTIRE FV time loop runs
-    inside the fused kernel (chain state + solution grid resident in VMEM).
+    """Batched misfit Φ for a FEATURES-FIRST (K, block) coefficient batch —
+    the Pallas form consumed by ops.fused_pcn_chain: the ENTIRE FV time
+    loop runs inside the fused kernel with chains on VPU lanes (fields laid
+    out (cells, block); the stencil rolls along sublanes).
     """
     data = jnp.asarray(data, jnp.float32)
     noise_scale = jnp.asarray(noise_scale, jnp.float32)
@@ -125,12 +126,21 @@ def make_batched_misfit(aux, data, noise_scale):
     mean = aux["mean"]
     obs = aux["obs_indices"]
     dt, n_steps = aux["dt"], aux["n_steps"]
+    n_cells = aux["n_cells"]
+    dt_over_h = dt * n_cells
 
-    def phi(U):  # (block, K) -> (block,)
-        u0 = mean[None, :] + U @ basis
-        final = integrate(u0, dt, n_steps)
-        pred = final[:, obs]
-        r = (data[None, :] - pred) / noise_scale
-        return 0.5 * jnp.sum(r * r, axis=-1)
+    def phi(U):  # (K, block) -> (block,)
+        u0 = mean[:, None] + basis.T @ U  # (cells, block), MXU matmul
+
+        def body(state, _):
+            u_down = jnp.roll(state, -1, axis=0)
+            flux_down = godunov_flux(state, u_down)
+            flux_up = jnp.roll(flux_down, 1, axis=0)
+            return state - dt_over_h * (flux_down - flux_up), None
+
+        final, _ = jax.lax.scan(body, u0, None, length=n_steps)
+        pred = final[obs, :]  # (m, block)
+        r = (data[:, None] - pred) / noise_scale
+        return 0.5 * jnp.sum(r * r, axis=0)
 
     return phi

@@ -1,23 +1,25 @@
 """Pallas TPU kernels: fully fused MCMC chains (SURVEY.md §2.2's TPU-native
 "inner loop" obligation).
 
-For small/analytic targets the scan+vmap path is dominated by per-step
-overhead that XLA cannot remove: threefry key derivation (tens of ALU ops
-per random number) and HBM round-trips of the chain state between scan
-iterations. These kernels run ``n_steps`` of RWM / pCN for a block of chains
-entirely in VMEM, drawing randomness from the TPU's hardware PRNG
-(``pltpu.prng_random_bits``, seeded per grid block so blocks are
-independent), and touch HBM exactly twice: initial load and final store.
+For small/analytic targets the scan+vmap path is bounded by per-step
+overheads: threefry key math and the scan carry's HBM round-trips. These
+kernels run ``n_steps`` of RWM / pCN for a block of chains entirely in
+VMEM, with a counter-hash RNG (~8 vector ALU ops per draw, portable across
+compiled/interpret modes), touching HBM exactly twice per launch.
 
-The user-supplied ``potential_fn`` is ordinary jnp code evaluated INSIDE the
-kernel on a (block, d) batch; its closed-over constants are hoisted with
-``jax.closure_convert`` and fed to the kernel as VMEM inputs (Pallas
-requires explicit operands). Elementwise VPU ops and small matmuls are
-Pallas-safe, which covers analytic targets and linear forward models.
+LAYOUT IS CHAIN-LAST: inside the kernel state is (d, chains) so the chain
+axis occupies VPU LANES (last-dim = 128-wide). The first, chain-major
+implementation wasted 98% of the VPU at d=2 and measured 5x SLOWER than
+scan+vmap; chain-last is the difference between a fused kernel and a fast
+fused kernel. Consequently ``potential_fn`` here takes a FEATURES-FIRST
+batch: (d, block) -> (block,). Public arrays stay (n_chains, d); the kernel
+transposes once per launch.
+
+The potential's closed-over constants are hoisted from its jaxpr into
+explicit kernel operands (Pallas requirement); scalars ride SMEM.
 
 Distributional equivalence with the scan+vmap path is tested in
-tests/test_pallas_ops.py (moment match on the same targets); the PRNG
-streams differ by construction.
+tests/test_pallas_ops.py; the PRNG streams differ by construction.
 """
 
 from __future__ import annotations
@@ -36,11 +38,9 @@ _TWO_PI = 2.0 * math.pi
 
 def _hash_bits(key, shape):
     """Counter-based random uint32s: murmur3/splitmix finalizer over the
-    element index, mixed with ``key``. ~8 vector ALU ops per draw — an
-    order of magnitude cheaper than threefry2x32, fully portable (identical
-    compiled and interpreted), statistically solid for Metropolis noise."""
+    element index, mixed with ``key``."""
     n = int(np.prod(shape))
-    idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).reshape(shape)
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (1, n), 1).reshape(shape)
     x = idx * jnp.uint32(0x9E3779B9) + key
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x7FEB352D)
@@ -59,9 +59,8 @@ def _mix_key(seed, step, tag):
 
 
 def _uniform01(key, shape):
-    """U(0,1): 24-bit mantissa path (never exactly 0). The uint32→int32
-    hop exists because Mosaic has no direct uint32→f32 cast; the value fits
-    in 24 bits so the signed reinterpretation is lossless."""
+    """U(0,1), 24-bit mantissa (never exactly 0). uint32→int32 hop because
+    Mosaic lacks a direct uint32→f32 cast; values fit in 24 bits."""
     bits = _hash_bits(key, shape)
     return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (
         1.0 / (1 << 24)
@@ -69,11 +68,9 @@ def _uniform01(key, shape):
 
 
 def _normal(key1, key2, shape):
-    """Standard normals via Box–Muller."""
     u1 = _uniform01(key1, shape)
     u2 = _uniform01(key2, shape)
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos(_TWO_PI * u2)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
 
 
 def _pack2d(a):
@@ -86,19 +83,15 @@ def _pack2d(a):
 
 
 def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps, block_chains):
-    """Shared driver: hoist constants, build the kernel, launch the grid.
-
-    ``step_builder(pot, *params) -> step(pos, phi) -> (pos, phi, accepted)``.
-    """
+    """Shared driver. ``step_builder(pot, *params) -> step(pos_t, phi,
+    rand_n, rand_u) -> (pos_t, phi, accepted)`` with pos_t (d, block)."""
     positions = jnp.asarray(positions, jnp.float32)
     n, d = positions.shape
     if n % block_chains:
         raise ValueError(
             f"n_chains {n} must be a multiple of block_chains {block_chains}"
         )
-    example = jax.ShapeDtypeStruct((block_chains, d), positions.dtype)
-    # Hoist the potential's embedded constants (closed-over arrays become
-    # jaxpr consts; Pallas requires them as explicit kernel operands).
+    example = jax.ShapeDtypeStruct((d, block_chains), positions.dtype)
     closed_pot = jax.make_jaxpr(potential_fn)(example)
     pot_consts = [jnp.asarray(c) for c in closed_pot.consts]
 
@@ -108,8 +101,6 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps, blo
     extras = [jnp.asarray(p, jnp.float32) for p in params] + list(pot_consts)
     packed = [_pack2d(e) for e in extras]
     orig_shapes = [tuple(jnp.asarray(e).shape) for e in extras]
-    # scalars travel in SMEM (Mosaic cannot materialize a scalar out of a
-    # VMEM vector block); arrays in VMEM
     is_scalar = [len(s) == 0 for s in orig_shapes]
     n_params = len(params)
 
@@ -129,9 +120,8 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps, blo
         pot = lambda x: pot_conv(x, *const_vals)
         step = step_builder(pot, *param_vals)
 
-        # independent stream per grid block
         block_seed = (seed_ref[0] + pl.program_id(0) * 7919).astype(jnp.uint32)
-        pos0 = pos_ref[:]
+        pos0 = pos_ref[:].T  # chain-last layout: (d, block)
         phi0 = pot(pos0)
 
         def body(i, carry):
@@ -148,10 +138,13 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps, blo
             return pos, phi, acc + accepted.astype(jnp.float32)
 
         pos_f, _, acc = jax.lax.fori_loop(
-            0, n_steps, body, (pos0, phi0, jnp.zeros(block_chains, jnp.float32))
+            0,
+            n_steps,
+            body,
+            (pos0, phi0, jnp.zeros((1, block_chains), jnp.float32)),
         )
-        out_ref[:] = pos_f
-        acc_ref[:] = (acc / n_steps)[:, None]
+        out_ref[:] = pos_f.T
+        acc_ref[:] = acc / n_steps
 
     grid = (n // block_chains,)
     extra_specs = [
@@ -178,16 +171,16 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps, blo
                 (block_chains, d), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (block_chains, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (1, block_chains), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, d), positions.dtype),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
         ),
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), positions, *packed)
-    return final, acc[:, 0]
+    return final, acc[0]
 
 
 def _rwm_step_builder(pot, step_size):
@@ -195,12 +188,12 @@ def _rwm_step_builder(pot, step_size):
         xi = rand_n(pos.shape, 0)
         prop = pos + step_size * xi
         phi_prop = pot(prop)
-        log_u = jnp.log(rand_u((pos.shape[0], 1), 2))[:, 0]
+        log_u = jnp.log(rand_u((1, pos.shape[1]), 2))[0]
         accept = log_u < (phi - phi_prop)
         return (
-            jnp.where(accept[:, None], prop, pos),
+            jnp.where(accept[None, :], prop, pos),
             jnp.where(accept, phi_prop, phi),
-            accept,
+            accept[None, :],
         )
 
     return step
@@ -208,19 +201,18 @@ def _rwm_step_builder(pot, step_size):
 
 def _pcn_step_builder(pot, beta, mean, scale):
     contraction = jnp.sqrt(1.0 - beta * beta)
-    mean = mean[None, :]
-    scale = scale[None, :]
 
     def step(pos, phi, rand_n, rand_u):
-        xi = scale * rand_n(pos.shape, 0)
-        prop = mean + contraction * (pos - mean) + beta * xi
+        m = mean[:, None]
+        xi = scale[:, None] * rand_n(pos.shape, 0)
+        prop = m + contraction * (pos - m) + beta * xi
         phi_prop = pot(prop)
-        log_u = jnp.log(rand_u((pos.shape[0], 1), 2))[:, 0]
+        log_u = jnp.log(rand_u((1, pos.shape[1]), 2))[0]
         accept = log_u < (phi - phi_prop)
         return (
-            jnp.where(accept[:, None], prop, pos),
+            jnp.where(accept[None, :], prop, pos),
             jnp.where(accept, phi_prop, phi),
-            accept,
+            accept[None, :],
         )
 
     return step
@@ -233,8 +225,8 @@ def fused_rwm_chain(
     potential_fn, positions, step_size, seed, n_steps=100, block_chains=256
 ):
     """``n_steps`` of random-walk Metropolis on exp(−potential), fused in
-    VMEM. ``potential_fn``: (block, d) -> (block,) jnp code (Pallas-safe).
-    Returns (final_positions, acceptance_rate_per_chain)."""
+    VMEM. ``potential_fn``: FEATURES-FIRST batch (d, block) -> (block,).
+    Returns (final_positions (n, d), acceptance_rate_per_chain (n,))."""
     return _run_fused(
         _rwm_step_builder,
         potential_fn,
@@ -260,7 +252,8 @@ def fused_pcn_chain(
     block_chains=256,
 ):
     """``n_steps`` of pCN with a diagonal (KL-coordinate) Gaussian prior,
-    fused in VMEM. Returns (final_positions, acceptance_rate_per_chain)."""
+    fused in VMEM. ``potential_fn``: (d, block) -> (block,).
+    Returns (final_positions, acceptance_rate_per_chain)."""
     return _run_fused(
         _pcn_step_builder,
         potential_fn,

@@ -19,11 +19,8 @@ Tested against the serial oracle in tests/test_distributed_resample.py
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ip_mcmc_tpu.parallel.mesh import CHAIN_AXIS
 from ip_mcmc_tpu.smc import systematic_resample

@@ -11,10 +11,10 @@ from ip_mcmc_tpu.ops import fused_pcn_chain, fused_rwm_chain
 
 
 def gaussian_potential(x):
-    # N(mean, diag(var)) potential, batched: (block, d) -> (block,)
+    # N(mean, diag(var)) potential, features-first batch: (d, block) -> (block,)
     mean = jnp.array([1.0, -0.5])
     var = jnp.array([2.0, 0.5])
-    return 0.5 * jnp.sum((x - mean) ** 2 / var, axis=-1)
+    return 0.5 * jnp.sum((x - mean[:, None]) ** 2 / var[:, None], axis=0)
 
 
 def test_fused_rwm_targets_gaussian():
@@ -53,7 +53,7 @@ def test_fused_pcn_conjugate_posterior():
     y = jnp.array([1.0, 1.0])
 
     def phi(x):
-        return 0.5 * jnp.sum((y - x) ** 2, axis=-1)
+        return 0.5 * jnp.sum((y[:, None] - x) ** 2, axis=0)
 
     pos = jnp.zeros((n, d), jnp.float32)
     pos, _ = fused_pcn_chain(
