@@ -68,9 +68,16 @@ def _uniform01(key, shape):
 
 
 def _normal(key1, key2, shape):
-    u1 = _uniform01(key1, shape)
-    u2 = _uniform01(key2, shape)
-    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    """(d, block) standard normals; uses BOTH Box–Muller outputs (cos and
+    sin halves) so transcendental count is halved."""
+    d, b = shape
+    half = (d + 1) // 2
+    u1 = _uniform01(key1, (half, b))
+    u2 = _uniform01(key2, (half, b))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
+    return z[:d]
 
 
 def _pack2d(a):
