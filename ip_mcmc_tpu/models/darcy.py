@@ -220,6 +220,93 @@ def make_darcy_forward(
     return forward, aux
 
 
+def _apply_operator_batched(a, p, n: int):
+    """A(a) @ p for chain-last batches: a, p are (n, n, block) — chains on
+    VPU lanes, stencil arithmetic on the leading grid axes (the layout for
+    the fully fused Pallas path)."""
+    h2 = float(n * n)
+    t_h = 2.0 * a[:, :-1] * a[:, 1:] / (a[:, :-1] + a[:, 1:]) * h2
+    t_v = 2.0 * a[:-1, :] * a[1:, :] / (a[:-1, :] + a[1:, :]) * h2
+    flux_h = t_h * (p[:, :-1] - p[:, 1:])
+    flux_v = t_v * (p[:-1, :] - p[1:, :])
+    out = jnp.zeros_like(p)
+    out = out.at[:, :-1].add(flux_h).at[:, 1:].add(-flux_h)
+    out = out.at[:-1, :].add(flux_v).at[1:, :].add(-flux_v)
+    tb = 2.0 * h2
+    out = out.at[0, :].add(tb * a[0, :] * p[0, :])
+    out = out.at[-1, :].add(tb * a[-1, :] * p[-1, :])
+    out = out.at[:, 0].add(tb * a[:, 0] * p[:, 0])
+    out = out.at[:, -1].add(tb * a[:, -1] * p[:, -1])
+    return out
+
+
+def _operator_diagonal_batched(a, n: int):
+    h2 = float(n * n)
+    t_h = 2.0 * a[:, :-1] * a[:, 1:] / (a[:, :-1] + a[:, 1:]) * h2
+    t_v = 2.0 * a[:-1, :] * a[1:, :] / (a[:-1, :] + a[1:, :]) * h2
+    d = jnp.zeros_like(a)
+    d = d.at[:, :-1].add(t_h).at[:, 1:].add(t_h)
+    d = d.at[:-1, :].add(t_v).at[1:, :].add(t_v)
+    tb = 2.0 * h2
+    d = d.at[0, :].add(tb * a[0, :])
+    d = d.at[-1, :].add(tb * a[-1, :])
+    d = d.at[:, 0].add(tb * a[:, 0])
+    d = d.at[:, -1].add(tb * a[:, -1])
+    return d
+
+
+def make_batched_misfit(aux, data, noise_scale, cg_iters: int = 48,
+                        log_a_mean: float = 0.0):
+    """Batched misfit Φ for FEATURES-FIRST (K, block) coefficient batches —
+    the form consumed by ``ops.fused_pcn_chain``: KL reconstruction (MXU
+    matmul), the ENTIRE Jacobi-PCG Darcy solve, observation and misfit all
+    run inside the fused kernel with chains on VPU lanes and the (n, n,
+    block) solution grid resident in VMEM.
+    """
+    data = jnp.asarray(data, jnp.float32)
+    noise_scale = jnp.asarray(noise_scale, jnp.float32)
+    basis = aux["scaled_basis"]  # (K, n²)
+    obs = aux["obs_indices"]
+    f = aux["source"]
+    n = aux["n_grid"]
+
+    def phi(U):  # (K, block) -> (block,)
+        block = U.shape[1]
+        log_a = log_a_mean + basis.T @ U  # (n², block)
+        a = jnp.exp(log_a).reshape(n, n, block)
+        b = jnp.broadcast_to(f.reshape(n, n, 1), (n, n, block))
+        inv_diag = 1.0 / _operator_diagonal_batched(a, n)
+
+        def dots(u, v):
+            return jnp.sum(u * v, axis=(0, 1))  # (block,)
+
+        x = jnp.zeros_like(b)
+        r = b
+        z = inv_diag * r
+        p = z
+        rz = dots(r, z)
+
+        def body(_, carry):
+            x, r, p, rz = carry
+            Ap = _apply_operator_batched(a, p, n)
+            pAp = dots(p, Ap)
+            alpha = jnp.where(pAp > 0.0, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
+            x = x + alpha[None, None, :] * p
+            r = r - alpha[None, None, :] * Ap
+            z = inv_diag * r
+            rz_new = dots(r, z)
+            beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz > 0.0, rz, 1.0), 0.0)
+            p = z + beta[None, None, :] * p
+            return x, r, p, rz_new
+
+        x, _, _, _ = jax.lax.fori_loop(0, cg_iters, body, (x, r, p, rz))
+        pred = x.reshape(n * n, block)[obs, :]  # (m, block)
+        res = (data[:, None] - pred) / noise_scale
+        return 0.5 * jnp.sum(res * res, axis=0)
+
+    return phi
+
+
 def solve_pressure(u, aux, log_a_mean: float = 0.0):
     """Full pressure field for a coefficient vector (diagnostics/plots)."""
     n = aux["n_grid"]

@@ -116,6 +116,48 @@ def test_fused_pcn_with_burgers_forward():
     np.testing.assert_allclose(fused_mean, ref_mean, atol=0.35)
 
 
+def test_fused_pcn_with_darcy_forward():
+    """The full Jacobi-PCG Darcy solve inside the fused kernel: matches the
+    scan+vmap path's posterior on the same inverse problem."""
+    from ip_mcmc_tpu import distributions, driver, potentials
+    from ip_mcmc_tpu.kernels import pcn
+    from ip_mcmc_tpu.models import darcy
+
+    fwd, aux = darcy.make_darcy_forward(n_grid=8, n_modes_per_dim=4)
+    K = 16
+    prior = distributions.DiagGaussian(mean=jnp.zeros(K), scale=jnp.ones(K))
+    u_true = prior.sample(jax.random.key(0))
+    m = len(aux["obs_indices"])
+    y = fwd(u_true)
+    noise_scale = 0.01
+
+    noise = distributions.DiagGaussian(
+        mean=jnp.zeros(m), scale=noise_scale * jnp.ones(m)
+    )
+    phi_single = potentials.misfit_potential(fwd, y, noise)
+    kernel = pcn.build_kernel(phi_single, prior, beta=0.2)
+    key_i, key_r = jax.random.split(jax.random.key(1))
+    state = driver.init_chains(pcn.init, prior.sample(key_i, (64,)), phi_single)
+    _, samples, _ = driver.sample_chains(
+        kernel, state, key_r, n_samples=300, burn_in=300
+    )
+    ref_mean = np.asarray(samples).reshape(-1, K).mean(axis=0)
+
+    phi_batch = darcy.make_batched_misfit(aux, y, noise_scale)
+    pos = prior.sample(jax.random.key(2), (64,))
+    pos, _ = fused_pcn_chain(
+        phi_batch, pos, prior_mean=np.zeros(K), prior_scale=np.ones(K),
+        beta=0.2, seed=0, n_steps=300, block_chains=32,
+    )
+    pos, acc = fused_pcn_chain(
+        phi_batch, pos, prior_mean=np.zeros(K), prior_scale=np.ones(K),
+        beta=0.2, seed=1, n_steps=300, block_chains=32,
+    )
+    fused_mean = np.asarray(pos).mean(axis=0)
+    assert float(np.asarray(acc).mean()) > 0.05
+    np.testing.assert_allclose(fused_mean, ref_mean, atol=0.4)
+
+
 def test_block_mismatch_raises():
     with pytest.raises(ValueError):
         fused_rwm_chain(
