@@ -28,6 +28,10 @@ def main(argv=None):
     )
     ap.add_argument("--profile-dir", default=None, help="jax.profiler trace dir")
     ap.add_argument(
+        "--metrics-log", default=None,
+        help="write JSON-lines metric records (run summary + accept trace)",
+    )
+    ap.add_argument(
         "--list", action="store_true", help="list configs and exit"
     )
     args = ap.parse_args(argv)
@@ -45,6 +49,7 @@ def main(argv=None):
         n_samples=args.n_samples,
         profile_dir=args.profile_dir,
         mesh=mesh,
+        metrics_log=args.metrics_log,
     )
     json.dump(metrics, sys.stdout)
     sys.stdout.write("\n")

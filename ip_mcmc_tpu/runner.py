@@ -110,7 +110,13 @@ def _build_kernel_and_state(problem, key, n_chains):
 
 
 def run_problem(
-    problem, key=None, n_chains=None, n_samples=None, profile_dir=None, mesh=None
+    problem,
+    key=None,
+    n_chains=None,
+    n_samples=None,
+    profile_dir=None,
+    mesh=None,
+    metrics_log=None,
 ):
     """Execute a Problem end-to-end; returns a metrics dict.
 
@@ -185,6 +191,17 @@ def run_problem(
         metrics["mean_error_vs_exact"] = float(
             np.abs(flat_mean - problem.truth).max()
         )
+    if metrics_log is not None:
+        from ip_mcmc_tpu.utils.logging import MetricsLogger
+
+        logger = MetricsLogger(path=metrics_log)
+        logger.log({"event": "run_complete", **metrics})
+        # per-retained-step acceptance trace (chain-mean, already on-device
+        # reduced) — the CountedAccepter record stream
+        acc = np.asarray(getattr(infos, "accepted", getattr(infos, "accept_prob", None)))
+        for i in range(0, len(acc), max(1, len(acc) // 50)):
+            logger.log({"event": "accept_trace", "step": int(i), "accept": float(acc[i])})
+        logger.close()
     return metrics
 
 
