@@ -90,11 +90,7 @@ def sample_chains(
         state, infos = jax.lax.scan(inner, state, steps)
         # keep only the last step's info, mean-reduced over chains on-device
         info_mean = jax.tree_util.tree_map(
-            lambda x: jnp.mean(
-                x[-1].astype(jnp.float32) if x.dtype != jnp.bool_ else x[-1].astype(jnp.float32),
-                axis=0,
-            ),
-            infos,
+            lambda x: jnp.mean(x[-1].astype(jnp.float32), axis=0), infos
         )
         return state, (record_fn(state), info_mean)
 
