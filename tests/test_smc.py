@@ -93,6 +93,28 @@ class TestSMCEndToEnd:
         ess = np.asarray(info.ess)[: n - 1]
         np.testing.assert_allclose(ess, 0.5 * 512, rtol=0.05)
 
+    def test_multimodal_target_balanced(self):
+        """Tempered SMC populates BOTH modes of a symmetric bimodal target
+        with ~equal mass — the capability single-temperature MCMC lacks."""
+        sep, sig = 2.0, 0.4
+        prior = DiagGaussian(mean=jnp.zeros(2), scale=3.0 * jnp.ones(2))
+
+        def log_mix(u):
+            a = -0.5 * jnp.sum((u - sep) ** 2) / sig**2
+            b = -0.5 * jnp.sum((u + sep) ** 2) / sig**2
+            return jnp.logaddexp(a, b)
+
+        # exp(-Φ) dμ0 ∝ mixture  ⇒  Φ = log prior-density − log mixture
+        phi = lambda u: -log_mix(u) - prior.potential(u)
+        state, info = smc.run(
+            phi, prior, jax.random.key(4), n_particles=2048,
+            mutation_steps=10, pcn_step=0.3,
+        )
+        p = np.asarray(state.particles)
+        frac_right = (p[:, 0] > 0).mean()
+        assert 0.3 < frac_right < 0.7, f"mode occupancy {frac_right}"
+        np.testing.assert_allclose(np.abs(p).mean(axis=0), sep, atol=0.4)
+
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
     def test_sharded_matches_single_device(self):
         """Collective resampling: particle axis sharded over the mesh gives
