@@ -124,10 +124,14 @@ def make_batched_misfit(aux, data, noise_scale):
     noise_scale = jnp.asarray(noise_scale, jnp.float32)
     basis = aux["scaled_basis"]
     mean = aux["mean"]
-    obs = aux["obs_indices"]
+    obs = np.asarray(aux["obs_indices"])
     dt, n_steps = aux["dt"], aux["n_steps"]
     n_cells = aux["n_cells"]
     dt_over_h = dt * n_cells
+    # observation as a one-hot matmul (Mosaic has no gather lowering)
+    obs_mat = np.zeros((len(obs), n_cells), np.float32)
+    obs_mat[np.arange(len(obs)), obs] = 1.0
+    obs_mat = jnp.asarray(obs_mat)
 
     def phi(U):  # (K, block) -> (block,)
         u0 = mean[:, None] + basis.T @ U  # (cells, block), MXU matmul
@@ -139,7 +143,7 @@ def make_batched_misfit(aux, data, noise_scale):
             return state - dt_over_h * (flux_down - flux_up), None
 
         final, _ = jax.lax.scan(body, u0, None, length=n_steps)
-        pred = final[obs, :]  # (m, block)
+        pred = obs_mat @ final  # (m, block)
         r = (data[:, None] - pred) / noise_scale
         return 0.5 * jnp.sum(r * r, axis=0)
 

@@ -220,23 +220,56 @@ def make_darcy_forward(
     return forward, aux
 
 
+def _pad_axis0(x, before, after):
+    zshape = list(x.shape)
+    parts = []
+    if before:
+        zshape0 = [before] + zshape[1:]
+        parts.append(jnp.zeros(zshape0, x.dtype))
+    parts.append(x)
+    if after:
+        zshape1 = [after] + zshape[1:]
+        parts.append(jnp.zeros(zshape1, x.dtype))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _pad_axis1(x, before, after):
+    zshape = list(x.shape)
+    parts = []
+    if before:
+        z = jnp.zeros([zshape[0], before] + zshape[2:], x.dtype)
+        parts.append(z)
+    parts.append(x)
+    if after:
+        z = jnp.zeros([zshape[0], after] + zshape[2:], x.dtype)
+        parts.append(z)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _edge_masks(n, dtype):
+    """(n, n, 1) constant masks for the four Dirichlet boundary strips."""
+    top = np.zeros((n, n, 1), np.float32); top[0, :, 0] = 1.0
+    bot = np.zeros((n, n, 1), np.float32); bot[-1, :, 0] = 1.0
+    left = np.zeros((n, n, 1), np.float32); left[:, 0, 0] = 1.0
+    right = np.zeros((n, n, 1), np.float32); right[:, -1, 0] = 1.0
+    return (jnp.asarray(top, dtype), jnp.asarray(bot, dtype),
+            jnp.asarray(left, dtype), jnp.asarray(right, dtype))
+
+
 def _apply_operator_batched(a, p, n: int):
     """A(a) @ p for chain-last batches: a, p are (n, n, block) — chains on
-    VPU lanes, stencil arithmetic on the leading grid axes (the layout for
-    the fully fused Pallas path)."""
+    VPU lanes. Built from concat/elementwise only (NO scatter/gather: Mosaic
+    has no scatter-add lowering; slice-accumulates become padded adds)."""
     h2 = float(n * n)
     t_h = 2.0 * a[:, :-1] * a[:, 1:] / (a[:, :-1] + a[:, 1:]) * h2
     t_v = 2.0 * a[:-1, :] * a[1:, :] / (a[:-1, :] + a[1:, :]) * h2
     flux_h = t_h * (p[:, :-1] - p[:, 1:])
     flux_v = t_v * (p[:-1, :] - p[1:, :])
-    out = jnp.zeros_like(p)
-    out = out.at[:, :-1].add(flux_h).at[:, 1:].add(-flux_h)
-    out = out.at[:-1, :].add(flux_v).at[1:, :].add(-flux_v)
+    out = _pad_axis1(flux_h, 0, 1) - _pad_axis1(flux_h, 1, 0)
+    out = out + _pad_axis0(flux_v, 0, 1) - _pad_axis0(flux_v, 1, 0)
     tb = 2.0 * h2
-    out = out.at[0, :].add(tb * a[0, :] * p[0, :])
-    out = out.at[-1, :].add(tb * a[-1, :] * p[-1, :])
-    out = out.at[:, 0].add(tb * a[:, 0] * p[:, 0])
-    out = out.at[:, -1].add(tb * a[:, -1] * p[:, -1])
+    top, bot, left, right = _edge_masks(n, a.dtype)
+    out = out + tb * a * p * (top + bot + left + right)
     return out
 
 
@@ -244,15 +277,11 @@ def _operator_diagonal_batched(a, n: int):
     h2 = float(n * n)
     t_h = 2.0 * a[:, :-1] * a[:, 1:] / (a[:, :-1] + a[:, 1:]) * h2
     t_v = 2.0 * a[:-1, :] * a[1:, :] / (a[:-1, :] + a[1:, :]) * h2
-    d = jnp.zeros_like(a)
-    d = d.at[:, :-1].add(t_h).at[:, 1:].add(t_h)
-    d = d.at[:-1, :].add(t_v).at[1:, :].add(t_v)
+    d = _pad_axis1(t_h, 0, 1) + _pad_axis1(t_h, 1, 0)
+    d = d + _pad_axis0(t_v, 0, 1) + _pad_axis0(t_v, 1, 0)
     tb = 2.0 * h2
-    d = d.at[0, :].add(tb * a[0, :])
-    d = d.at[-1, :].add(tb * a[-1, :])
-    d = d.at[:, 0].add(tb * a[:, 0])
-    d = d.at[:, -1].add(tb * a[:, -1])
-    return d
+    top, bot, left, right = _edge_masks(n, a.dtype)
+    return d + tb * a * (top + bot + left + right)
 
 
 def make_batched_misfit(aux, data, noise_scale, cg_iters: int = 48,
@@ -266,9 +295,13 @@ def make_batched_misfit(aux, data, noise_scale, cg_iters: int = 48,
     data = jnp.asarray(data, jnp.float32)
     noise_scale = jnp.asarray(noise_scale, jnp.float32)
     basis = aux["scaled_basis"]  # (K, n²)
-    obs = aux["obs_indices"]
+    obs = np.asarray(aux["obs_indices"])
     f = aux["source"]
     n = aux["n_grid"]
+    # observation as a one-hot matmul (Mosaic has no gather lowering)
+    obs_mat = np.zeros((len(obs), n * n), np.float32)
+    obs_mat[np.arange(len(obs)), obs] = 1.0
+    obs_mat = jnp.asarray(obs_mat)
 
     def phi(U):  # (K, block) -> (block,)
         block = U.shape[1]
@@ -300,7 +333,7 @@ def make_batched_misfit(aux, data, noise_scale, cg_iters: int = 48,
             return x, r, p, rz_new
 
         x, _, _, _ = jax.lax.fori_loop(0, cg_iters, body, (x, r, p, rz))
-        pred = x.reshape(n * n, block)[obs, :]  # (m, block)
+        pred = obs_mat @ x.reshape(n * n, block)  # (m, block), MXU matmul
         res = (data[:, None] - pred) / noise_scale
         return 0.5 * jnp.sum(res * res, axis=0)
 
