@@ -220,68 +220,56 @@ def make_darcy_forward(
     return forward, aux
 
 
-def _pad_axis0(x, before, after):
-    zshape = list(x.shape)
-    parts = []
-    if before:
-        zshape0 = [before] + zshape[1:]
-        parts.append(jnp.zeros(zshape0, x.dtype))
-    parts.append(x)
-    if after:
-        zshape1 = [after] + zshape[1:]
-        parts.append(jnp.zeros(zshape1, x.dtype))
-    return jnp.concatenate(parts, axis=0)
+def _shift_up(x, k):
+    """x[p+k] in flat sublane index (zeros shifted in at the tail)."""
+    return jnp.concatenate([x[k:], jnp.zeros((k,) + x.shape[1:], x.dtype)], axis=0)
 
 
-def _pad_axis1(x, before, after):
-    zshape = list(x.shape)
-    parts = []
-    if before:
-        z = jnp.zeros([zshape[0], before] + zshape[2:], x.dtype)
-        parts.append(z)
-    parts.append(x)
-    if after:
-        z = jnp.zeros([zshape[0], after] + zshape[2:], x.dtype)
-        parts.append(z)
-    return jnp.concatenate(parts, axis=1)
+def _shift_down(x, k):
+    """x[p-k] in flat sublane index (zeros shifted in at the head)."""
+    return jnp.concatenate([jnp.zeros((k,) + x.shape[1:], x.dtype), x[:-k]], axis=0)
 
 
-def _edge_masks(n, dtype):
-    """(n, n, 1) constant masks for the four Dirichlet boundary strips."""
-    top = np.zeros((n, n, 1), np.float32); top[0, :, 0] = 1.0
-    bot = np.zeros((n, n, 1), np.float32); bot[-1, :, 0] = 1.0
-    left = np.zeros((n, n, 1), np.float32); left[:, 0, 0] = 1.0
-    right = np.zeros((n, n, 1), np.float32); right[:, -1, 0] = 1.0
-    return (jnp.asarray(top, dtype), jnp.asarray(bot, dtype),
-            jnp.asarray(left, dtype), jnp.asarray(right, dtype))
+def _flat_masks(n):
+    """Constant (n², 1) masks for the FLAT stencil: Mosaic supports neither
+    scatter/gather nor 2D↔3D reshapes in-kernel, so the 5-point stencil is
+    expressed on the flattened grid with sublane shifts (±1 horizontal, ±n
+    vertical) and these masks kill row wrap-around / boundary terms."""
+    idx = np.arange(n * n)
+    i, j = idx // n, idx % n
+    def col(c):
+        return jnp.asarray(c.astype(np.float32).reshape(-1, 1))
+    return {
+        "right": col(j < n - 1),   # face to the right exists
+        "down": col(i < n - 1),    # face below exists
+        "edge": col((i == 0).astype(float) + (i == n - 1) + (j == 0) + (j == n - 1)),
+    }
 
 
-def _apply_operator_batched(a, p, n: int):
-    """A(a) @ p for chain-last batches: a, p are (n, n, block) — chains on
-    VPU lanes. Built from concat/elementwise only (NO scatter/gather: Mosaic
-    has no scatter-add lowering; slice-accumulates become padded adds)."""
+def _flat_transmissibilities(a, n, masks):
+    """Face transmissibilities on the flat layout. a: (n², block)."""
     h2 = float(n * n)
-    t_h = 2.0 * a[:, :-1] * a[:, 1:] / (a[:, :-1] + a[:, 1:]) * h2
-    t_v = 2.0 * a[:-1, :] * a[1:, :] / (a[:-1, :] + a[1:, :]) * h2
-    flux_h = t_h * (p[:, :-1] - p[:, 1:])
-    flux_v = t_v * (p[:-1, :] - p[1:, :])
-    out = _pad_axis1(flux_h, 0, 1) - _pad_axis1(flux_h, 1, 0)
-    out = out + _pad_axis0(flux_v, 0, 1) - _pad_axis0(flux_v, 1, 0)
-    tb = 2.0 * h2
-    top, bot, left, right = _edge_masks(n, a.dtype)
-    out = out + tb * a * p * (top + bot + left + right)
+    a_r = _shift_up(a, 1)      # right neighbor
+    a_d = _shift_up(a, n)      # below neighbor
+    t_h = 2.0 * a * a_r / (a + a_r + 1e-38) * h2 * masks["right"]
+    t_v = 2.0 * a * a_d / (a + a_d + 1e-38) * h2 * masks["down"]
+    return t_h, t_v
+
+
+def _apply_operator_flat(a, p, n, masks, t_h, t_v):
+    """A(a) @ p on the flat (n², block) layout — shifts + elementwise only."""
+    h2 = float(n * n)
+    flux_h = t_h * (p - _shift_up(p, 1))   # face owned by left cell
+    flux_v = t_v * (p - _shift_up(p, n))   # face owned by upper cell
+    out = flux_h - _shift_down(flux_h, 1) + flux_v - _shift_down(flux_v, n)
+    out = out + 2.0 * h2 * a * p * masks["edge"]
     return out
 
 
-def _operator_diagonal_batched(a, n: int):
+def _operator_diagonal_flat(a, n, masks, t_h, t_v):
     h2 = float(n * n)
-    t_h = 2.0 * a[:, :-1] * a[:, 1:] / (a[:, :-1] + a[:, 1:]) * h2
-    t_v = 2.0 * a[:-1, :] * a[1:, :] / (a[:-1, :] + a[1:, :]) * h2
-    d = _pad_axis1(t_h, 0, 1) + _pad_axis1(t_h, 1, 0)
-    d = d + _pad_axis0(t_v, 0, 1) + _pad_axis0(t_v, 1, 0)
-    tb = 2.0 * h2
-    top, bot, left, right = _edge_masks(n, a.dtype)
-    return d + tb * a * (top + bot + left + right)
+    d = t_h + _shift_down(t_h, 1) + t_v + _shift_down(t_v, n)
+    return d + 2.0 * h2 * a * masks["edge"]
 
 
 def make_batched_misfit(aux, data, noise_scale, cg_iters: int = 48,
@@ -289,15 +277,17 @@ def make_batched_misfit(aux, data, noise_scale, cg_iters: int = 48,
     """Batched misfit Φ for FEATURES-FIRST (K, block) coefficient batches —
     the form consumed by ``ops.fused_pcn_chain``: KL reconstruction (MXU
     matmul), the ENTIRE Jacobi-PCG Darcy solve, observation and misfit all
-    run inside the fused kernel with chains on VPU lanes and the (n, n,
-    block) solution grid resident in VMEM.
+    run inside the fused kernel, chains on VPU lanes, the flat (n², block)
+    solution grid resident in VMEM (flat because Mosaic has no in-kernel
+    2D↔3D reshape; the stencil uses sublane shifts + masks).
     """
     data = jnp.asarray(data, jnp.float32)
     noise_scale = jnp.asarray(noise_scale, jnp.float32)
     basis = aux["scaled_basis"]  # (K, n²)
     obs = np.asarray(aux["obs_indices"])
-    f = aux["source"]
-    n = aux["n_grid"]
+    f = jnp.asarray(aux["source"]).reshape(-1, 1)
+    n = int(aux["n_grid"])
+    masks = _flat_masks(n)
     # observation as a one-hot matmul (Mosaic has no gather lowering)
     obs_mat = np.zeros((len(obs), n * n), np.float32)
     obs_mat[np.arange(len(obs)), obs] = 1.0
@@ -306,12 +296,13 @@ def make_batched_misfit(aux, data, noise_scale, cg_iters: int = 48,
     def phi(U):  # (K, block) -> (block,)
         block = U.shape[1]
         log_a = log_a_mean + basis.T @ U  # (n², block)
-        a = jnp.exp(log_a).reshape(n, n, block)
-        b = jnp.broadcast_to(f.reshape(n, n, 1), (n, n, block))
-        inv_diag = 1.0 / _operator_diagonal_batched(a, n)
+        a = jnp.exp(log_a)
+        t_h, t_v = _flat_transmissibilities(a, n, masks)
+        b = jnp.broadcast_to(f, (n * n, block))
+        inv_diag = 1.0 / _operator_diagonal_flat(a, n, masks, t_h, t_v)
 
         def dots(u, v):
-            return jnp.sum(u * v, axis=(0, 1))  # (block,)
+            return jnp.sum(u * v, axis=0)  # (block,)
 
         x = jnp.zeros_like(b)
         r = b
@@ -321,19 +312,19 @@ def make_batched_misfit(aux, data, noise_scale, cg_iters: int = 48,
 
         def body(_, carry):
             x, r, p, rz = carry
-            Ap = _apply_operator_batched(a, p, n)
+            Ap = _apply_operator_flat(a, p, n, masks, t_h, t_v)
             pAp = dots(p, Ap)
             alpha = jnp.where(pAp > 0.0, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
-            x = x + alpha[None, None, :] * p
-            r = r - alpha[None, None, :] * Ap
+            x = x + alpha[None, :] * p
+            r = r - alpha[None, :] * Ap
             z = inv_diag * r
             rz_new = dots(r, z)
             beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz > 0.0, rz, 1.0), 0.0)
-            p = z + beta[None, None, :] * p
+            p = z + beta[None, :] * p
             return x, r, p, rz_new
 
         x, _, _, _ = jax.lax.fori_loop(0, cg_iters, body, (x, r, p, rz))
-        pred = obs_mat @ x.reshape(n * n, block)  # (m, block), MXU matmul
+        pred = obs_mat @ x  # (m, block), MXU matmul
         res = (data[:, None] - pred) / noise_scale
         return 0.5 * jnp.sum(res * res, axis=0)
 
