@@ -4,15 +4,19 @@ reference-equivalent NumPy single-chain oracle.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+TPU side = the fully fused Pallas pCN kernel (whole Jacobi-PCG Darcy solve
+in-kernel, chains on VPU lanes, ~5M PDE-solve steps/s on one v5e chip —
+also ~100x faster to COMPILE than the scan path on this toolchain).
+
 Methodology (SURVEY.md §6, §7.3 item 6 — honest ESS accounting):
-- identical algorithm on both sides: pCN with the same β on the same
-  posterior (same KL basis, grid, observations, noise);
-- ESS/step is measured ONCE from the TPU run's 4096-chain sample tensor
-  with the multi-chain Geyer estimator (the oracle's single short chain
-  cannot estimate its own ESS as well; the per-step statistical efficiency
-  of the two identical kernels is equal in expectation);
+- identical algorithm both sides: pCN, same β, same posterior (same KL
+  basis, grid, observations, noise, data);
+- ESS/step measured from a recorded 4096-chain series produced by the SAME
+  fused kernel (single-step launches), multi-chain Geyer estimator — the
+  estimator is numerically mirrored on the oracle side (tests prove
+  equality);
 - each side's ESS/sec = (ESS/step/chain) × (chain-steps/sec);
-- vs_baseline = TPU ESS/sec (one chip) / oracle ESS/sec (one CPU process —
+- vs_baseline = TPU ESS/sec (one chip) ÷ oracle ESS/sec (one CPU process —
   the reference's deployment model).
 """
 
@@ -38,15 +42,17 @@ def main():
     import jax.numpy as jnp
 
     from benchmarks.oracle_darcy import OracleDarcyPCN
-    from ip_mcmc_tpu import diagnostics, distributions, driver, potentials
-    from ip_mcmc_tpu.kernels import pcn
+    from ip_mcmc_tpu import diagnostics, distributions
     from ip_mcmc_tpu.models import darcy
+    from ip_mcmc_tpu.ops import fused_pcn_chain
 
     BETA = 0.08
     NOISE = 0.002
     N_CHAINS = 4096
-    N_SAMPLES = 400
+    BLOCK = 512
     BURN = 300
+    N_REC = 400  # recorded single-step launches for the ESS series
+    N_TIME = 500  # steps in the timed throughput launch
 
     log(f"device: {jax.devices()[0]}")
 
@@ -56,55 +62,54 @@ def main():
     u_true = rng.standard_normal(oracle.K)
     y = oracle.forward(u_true) + NOISE * rng.standard_normal(len(oracle.obs))
 
-    # ---- TPU side -------------------------------------------------------
+    # ---- TPU side (fused Pallas kernel) ---------------------------------
     fwd, aux = darcy.make_darcy_forward(n_grid=16, n_modes_per_dim=8)
-    noise = distributions.DiagGaussian(
-        mean=jnp.zeros(len(y)), scale=NOISE * jnp.ones(len(y))
-    )
-    phi = potentials.misfit_potential(fwd, jnp.asarray(y, jnp.float32), noise)
+    phi_batch = darcy.make_batched_misfit(aux, jnp.asarray(y, jnp.float32), NOISE)
     prior = distributions.DiagGaussian(mean=jnp.zeros(64), scale=jnp.ones(64))
-    kernel = pcn.build_kernel(phi, prior, beta=BETA)
+    prior_mean, prior_scale = np.zeros(64), np.ones(64)
 
-    key_i, key_r = jax.random.split(jax.random.key(0), 2)
-    state = driver.init_chains(pcn.init, prior.sample(key_i, (N_CHAINS,)), phi)
+    def fused(pos, seed, n_steps):
+        return fused_pcn_chain(
+            phi_batch, pos, prior_mean=prior_mean, prior_scale=prior_scale,
+            beta=BETA, seed=seed, n_steps=n_steps, block_chains=BLOCK,
+        )
 
-    # ONE compiled program: burn-in + sampling in a single scan; the first
-    # BURN retained samples are discarded host-side
-    total = BURN + N_SAMPLES
-
-    def run(st, key):
-        return driver.sample_chains(kernel, st, key, n_samples=total, burn_in=0)
-
+    positions = prior.sample(jax.random.key(0), (N_CHAINS,))
     t0 = time.time()
-    _, s_warm, _ = run(state, key_i)
-    jax.block_until_ready(s_warm)
-    log(f"compile+first run: {time.time()-t0:.1f}s")
-    del s_warm
+    positions, _ = fused(positions, 1, BURN)
+    jax.block_until_ready(positions)
+    log(f"compile+burn-in ({BURN} steps): {time.time()-t0:.1f}s")
 
+    # recorded series for the ESS estimate (same kernel, 1 step per launch)
     t0 = time.time()
-    state2, samples_all, infos = run(state, key_r)
-    jax.block_until_ready(samples_all)
-    tpu_run_s = time.time() - t0
-    tpu_steps_per_s = N_CHAINS * total / tpu_run_s
-    samples = samples_all[BURN:]
-    accept = float(np.asarray(infos.accepted)[BURN:].mean())
+    series = np.empty((N_REC, N_CHAINS, 64), np.float32)
+    pos = positions
+    for i in range(N_REC):
+        pos, _ = fused(pos, 1000 + i, 1)
+        series[i] = np.asarray(pos)
+    log(f"ESS series ({N_REC} recorded steps): {time.time()-t0:.1f}s")
 
-    ess = np.asarray(diagnostics.ess_per_param(samples))
+    ess = np.asarray(diagnostics.ess_per_param(jnp.asarray(series)))
     min_ess = float(ess.min())
-    ess_per_step_chain = min_ess / (N_CHAINS * N_SAMPLES)
-    # steady-state throughput: attribute only the sampling window's share of
-    # the wall clock to the retained samples
-    sampling_s = tpu_run_s * N_SAMPLES / total
-    tpu_ess_per_s = min_ess / sampling_s
+    ess_per_step_chain = min_ess / (N_CHAINS * N_REC)
+
+    # throughput: one long fused launch (warm the program first — the timed
+    # call must not include compile/fetch)
+    out, _ = fused(pos, 99, N_TIME)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out, acc = fused(pos, 2, N_TIME)
+    jax.block_until_ready(out)
+    tpu_s = time.time() - t0
+    tpu_steps_per_s = N_CHAINS * N_TIME / tpu_s
+    tpu_ess_per_s = ess_per_step_chain * tpu_steps_per_s
     log(
-        f"TPU: {tpu_run_s:.2f}s for {N_CHAINS}x{total} steps "
-        f"({tpu_steps_per_s:,.0f} steps/s), accept={accept:.3f}, "
-        f"min ESS={min_ess:,.0f} -> {tpu_ess_per_s:,.1f} ESS/s"
+        f"TPU: {tpu_steps_per_s:,.0f} steps/s ({tpu_s:.3f}s for "
+        f"{N_CHAINS}x{N_TIME}), accept={float(np.asarray(acc).mean()):.3f}, "
+        f"min ESS={min_ess:,.0f} over series -> {tpu_ess_per_s:,.1f} ESS/s"
     )
 
     # ---- oracle side (reference-equivalent loop, single chain) ----------
-    # short timed run; statistical efficiency per step taken from the TPU
-    # measurement (identical kernel)
     n_oracle = 300
     rng_o = np.random.default_rng(1)
     t0 = time.time()
@@ -113,9 +118,8 @@ def main():
     oracle_steps_per_s = n_oracle / oracle_s
     oracle_ess_per_s = ess_per_step_chain * oracle_steps_per_s
     log(
-        f"oracle: {oracle_s:.2f}s for {n_oracle} steps "
-        f"({oracle_steps_per_s:,.1f} steps/s), accept={oracle_accept:.3f} "
-        f"-> {oracle_ess_per_s:.3f} ESS/s"
+        f"oracle: {oracle_steps_per_s:,.1f} steps/s "
+        f"(accept={oracle_accept:.3f}) -> {oracle_ess_per_s:.3f} ESS/s"
     )
 
     ratio = tpu_ess_per_s / oracle_ess_per_s
