@@ -124,6 +124,16 @@ def lingauss_pcn() -> Problem:
     )
 
 
+@register
+def lingauss_elliptical() -> Problem:
+    """Elliptical slice sampling (tuning-free) on the config-2 problem."""
+    p = lingauss_pcn()
+    p.name = "lingauss_elliptical"
+    p.kernel = "elliptical"
+    p.kernel_params = {}
+    return p
+
+
 def _lv_problem(kernel: str, kernel_params: dict, n_chains: int) -> Problem:
     y0 = jnp.array([1.0, 0.5])
     dt, n_steps = 0.05, 200  # t ∈ [0, 10]

@@ -23,7 +23,7 @@ from ip_mcmc_tpu.adapt import (
     warmup_pcn,
     warmup_rwm,
 )
-from ip_mcmc_tpu.kernels import hmc, mala, nuts, pcn, rwm
+from ip_mcmc_tpu.kernels import elliptical, hmc, mala, nuts, pcn, rwm
 
 
 def _build_kernel_and_state(problem, key, n_chains):
@@ -62,6 +62,10 @@ def _build_kernel_and_state(problem, key, n_chains):
             kernel = pcn.build_kernel(phi, prior, beta=beta)
         else:
             kernel = pcn.build_kernel(phi, prior, **kp)
+    elif problem.kernel == "elliptical":
+        phi, prior = problem.potential_fn, problem.prior
+        state = driver.init_chains(elliptical.init, positions, phi)
+        kernel = elliptical.build_kernel(phi, prior, **kp)
     elif problem.kernel == "mala":
         logpi = problem.log_density_fn
         state = driver.init_chains(mala.init, positions, logpi)
@@ -187,7 +191,7 @@ def run_problem(
     if hasattr(infos, "accept_prob") and problem.kernel == "nuts":
         metrics["accept_rate"] = float(np.asarray(infos.accept_prob).mean())
         metrics["mean_tree_depth"] = float(np.asarray(infos.depth).mean())
-    if problem.truth is not None and problem.name in ("lingauss_pcn",):
+    if problem.truth is not None and problem.name in ("lingauss_pcn", "lingauss_elliptical"):
         metrics["mean_error_vs_exact"] = float(
             np.abs(flat_mean - problem.truth).max()
         )
