@@ -1,0 +1,134 @@
+"""Parallel tempering (replica exchange) over a pCN ladder.
+
+Beyond-reference ensemble capability: T replicas target exp(−β_t Φ) dμ₀
+along a temperature ladder β_1=1 > ... > β_T ≥ 0; hot replicas cross
+energy barriers, adjacent-pair swaps transport their discoveries to the
+cold chain — the standard cure for multimodal posteriors that plain
+pCN/RWM cannot mix across (tested on a bimodal target).
+
+TPU mapping: the ladder is just a leading axis of the state
+((T, d) positions, (T,) cached untempered Φ); mutation is the pCN update
+vectorized over T, swaps are parity-alternating roll/compare/where on the
+T axis — pure vector ops, no collectives, and the whole kernel still
+vmaps over the chain axis (state (chains, T, d)) and shards like any
+other chain state.
+
+Swap rule: exchange replicas i, i+1 w.p. min(1, exp((β_i − β_{i+1})(Φ_i −
+Φ_{i+1}))) — detailed balance on the product chain.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ip_mcmc_tpu.utils.struct import pytree_dataclass
+
+
+@pytree_dataclass
+class PTState:
+    positions: jnp.ndarray  # (T, d)
+    potentials: jnp.ndarray  # (T,) untempered Φ
+    parity: jnp.ndarray  # int32, alternates swap pairing
+
+
+@pytree_dataclass
+class PTInfo:
+    accept_rate: jnp.ndarray  # mean pCN acceptance over the ladder
+    swap_rate: jnp.ndarray  # fraction of attempted swaps accepted
+    cold_accepted: jnp.ndarray  # cold-chain pCN acceptance (bool)
+
+
+def geometric_ladder(n_temps, beta_min=0.05):
+    """β_t = beta_min^(t/(T-1)): geometric from 1 down to beta_min."""
+    t = jnp.arange(n_temps) / max(n_temps - 1, 1)
+    return beta_min**t
+
+
+def init(position, potential_fn, n_temps):
+    """Replicate one position across the ladder."""
+    position = jnp.asarray(position)
+    positions = jnp.broadcast_to(position, (n_temps,) + position.shape)
+    phi = potential_fn(position)
+    return PTState(
+        positions=positions,
+        potentials=jnp.broadcast_to(phi, (n_temps,)),
+        parity=jnp.int32(0),
+    )
+
+
+def build_kernel(potential_fn, prior, betas, pcn_step=0.25):
+    """One PT transition: tempered pCN update of every replica + one round
+    of parity-alternating adjacent swaps. ``betas``: (T,) with betas[0]=1."""
+    betas = jnp.asarray(betas)
+    n_temps = betas.shape[0]
+    contraction = jnp.sqrt(1.0 - pcn_step * pcn_step)
+
+    def kernel(key, state):
+        key_prop, key_acc, key_swap = jax.random.split(key, 3)
+
+        # --- tempered pCN mutation, vectorized over the ladder ---
+        xi = prior.sample_centered(key_prop, (n_temps,))
+        m = prior.mean
+        proposals = m + contraction * (state.positions - m) + pcn_step * xi
+        phi_prop = jax.vmap(potential_fn)(proposals)
+        log_ratio = betas * (state.potentials - phi_prop)
+        log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+        log_u = jnp.log(
+            jax.random.uniform(key_acc, (n_temps,), dtype=log_ratio.dtype)
+        )
+        accepted = log_u < log_ratio
+        positions = jnp.where(accepted[:, None], proposals, state.positions)
+        potentials = jnp.where(accepted, phi_prop, state.potentials)
+
+        # --- adjacent swaps, alternating parity ---
+        phi_next = jnp.roll(potentials, -1)
+        beta_next = jnp.roll(betas, -1)
+        # pair (i, i+1) is "active" when i has the right parity and i+1 < T
+        idx = jnp.arange(n_temps)
+        active = ((idx % 2) == (state.parity % 2)) & (idx < n_temps - 1)
+        log_swap = (betas - beta_next) * (potentials - phi_next)
+        log_us = jnp.log(
+            jax.random.uniform(key_swap, (n_temps,), dtype=log_swap.dtype)
+        )
+        swap_lead = active & (log_us < log_swap)  # i initiates swap with i+1
+        swap_follow = jnp.roll(swap_lead, 1)  # i+1 side of an accepted swap
+        take_from_next = swap_lead
+        take_from_prev = swap_follow
+        pos_next = jnp.roll(positions, -1, axis=0)
+        pos_prev = jnp.roll(positions, 1, axis=0)
+        phi_next_v = jnp.roll(potentials, -1)
+        phi_prev_v = jnp.roll(potentials, 1)
+        new_positions = jnp.where(
+            take_from_next[:, None],
+            pos_next,
+            jnp.where(take_from_prev[:, None], pos_prev, positions),
+        )
+        new_potentials = jnp.where(
+            take_from_next,
+            phi_next_v,
+            jnp.where(take_from_prev, phi_prev_v, potentials),
+        )
+
+        n_active = jnp.maximum(jnp.sum(active.astype(jnp.float32)), 1.0)
+        info = PTInfo(
+            accept_rate=jnp.mean(accepted.astype(jnp.float32)),
+            swap_rate=jnp.sum(swap_lead.astype(jnp.float32)) / n_active,
+            cold_accepted=accepted[0],
+        )
+        new_state = PTState(
+            positions=new_positions,
+            potentials=new_potentials,
+            parity=1 - state.parity,
+        )
+        return new_state, info
+
+    return kernel
+
+
+def cold_chain(state_or_samples):
+    """Extract the β=1 replica: works on a PTState or recorded positions
+    with the ladder axis right after the sample/chain axes."""
+    if hasattr(state_or_samples, "positions"):
+        return state_or_samples.positions[..., 0, :]
+    return state_or_samples[..., 0, :]
