@@ -136,13 +136,14 @@ def make_batched_misfit(aux, data, noise_scale):
     def phi(U):  # (K, block) -> (block,)
         u0 = mean[:, None] + basis.T @ U  # (cells, block), MXU matmul
 
-        def body(state, _):
+        def body(_, state):
+            # fori_loop, not scan: Mosaic only lowers index-style loops
             u_down = jnp.roll(state, -1, axis=0)
             flux_down = godunov_flux(state, u_down)
             flux_up = jnp.roll(flux_down, 1, axis=0)
-            return state - dt_over_h * (flux_down - flux_up), None
+            return state - dt_over_h * (flux_down - flux_up)
 
-        final, _ = jax.lax.scan(body, u0, None, length=n_steps)
+        final = jax.lax.fori_loop(0, n_steps, body, u0)
         pred = obs_mat @ final  # (m, block)
         r = (data[:, None] - pred) / noise_scale
         return 0.5 * jnp.sum(r * r, axis=0)
