@@ -18,7 +18,7 @@ def main(argv=None):
     from ip_mcmc_tpu import configs, runner
 
     ap = argparse.ArgumentParser(description="ip_mcmc_tpu benchmark runner")
-    ap.add_argument("--config", required=True, choices=sorted(configs.REGISTRY))
+    ap.add_argument("--config", choices=sorted(configs.REGISTRY))
     ap.add_argument("--n-chains", type=int, default=None)
     ap.add_argument("--n-samples", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -35,6 +35,14 @@ def main(argv=None):
         "--list", action="store_true", help="list configs and exit"
     )
     args = ap.parse_args(argv)
+
+    if args.list:
+        for name in sorted(configs.REGISTRY):
+            doc = (configs.REGISTRY[name].__doc__ or "").strip().splitlines()[0]
+            print(f"{name:22s} {doc}")
+        return 0
+    if args.config is None:
+        ap.error("--config is required (or use --list)")
 
     problem = configs.build(args.config)
     mesh = None
