@@ -44,7 +44,7 @@ def main():
     from benchmarks.oracle_darcy import OracleDarcyPCN
     from ip_mcmc_tpu import diagnostics, distributions
     from ip_mcmc_tpu.models import darcy
-    from ip_mcmc_tpu.ops import fused_pcn_chain
+    from ip_mcmc_tpu.ops import fused_pcn_chain, fused_pcn_chain_recorded
 
     BETA = 0.08
     NOISE = 0.002
@@ -80,16 +80,17 @@ def main():
     jax.block_until_ready(positions)
     log(f"compile+burn-in ({BURN} steps): {time.time()-t0:.1f}s")
 
-    # recorded series for the ESS estimate (same kernel, 1 step per launch)
+    # recorded series for the ESS estimate: ONE launch, in-kernel DMA
+    # recording every step
     t0 = time.time()
-    series = np.empty((N_REC, N_CHAINS, 64), np.float32)
-    pos = positions
-    for i in range(N_REC):
-        pos, _ = fused(pos, 1000 + i, 1)
-        series[i] = np.asarray(pos)
-    log(f"ESS series ({N_REC} recorded steps): {time.time()-t0:.1f}s")
+    pos, _, series = fused_pcn_chain_recorded(
+        phi_batch, positions, prior_mean=prior_mean, prior_scale=prior_scale,
+        beta=BETA, seed=1000, n_steps=N_REC, thin=1, block_chains=BLOCK,
+    )
+    jax.block_until_ready(series)
+    log(f"ESS series ({N_REC} recorded steps, one launch): {time.time()-t0:.1f}s")
 
-    ess = np.asarray(diagnostics.ess_per_param(jnp.asarray(series)))
+    ess = np.asarray(diagnostics.ess_per_param(series))
     min_ess = float(ess.min())
     ess_per_step_chain = min_ess / (N_CHAINS * N_REC)
 

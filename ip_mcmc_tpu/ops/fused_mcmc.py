@@ -225,6 +225,166 @@ def _pcn_step_builder(pot, beta, mean, scale):
     return step
 
 
+def _run_fused_recorded(
+    step_builder, potential_fn, positions, params, seed, n_steps, thin, block_chains
+):
+    """Like ``_run_fused`` but DMA-records the chain state every ``thin``
+    steps from a VMEM scratch into an HBM sample buffer — the fused kernel
+    as a COMPLETE sampler (one launch → (n_rec, n, d) trajectory)."""
+    positions = jnp.asarray(positions, jnp.float32)
+    n, d = positions.shape
+    if n % block_chains:
+        raise ValueError(
+            f"n_chains {n} must be a multiple of block_chains {block_chains}"
+        )
+    if n_steps % thin:
+        raise ValueError(f"n_steps {n_steps} must be a multiple of thin {thin}")
+    n_rec = n_steps // thin
+    example = jax.ShapeDtypeStruct((d, block_chains), positions.dtype)
+    closed_pot = jax.make_jaxpr(potential_fn)(example)
+    pot_consts = [jnp.asarray(c) for c in closed_pot.consts]
+
+    def pot_conv(x, *cs):
+        return jax.core.eval_jaxpr(closed_pot.jaxpr, list(cs), x)[0]
+
+    extras = [jnp.asarray(p, jnp.float32) for p in params] + list(pot_consts)
+    packed = [_pack2d(e) for e in extras]
+    orig_shapes = [tuple(jnp.asarray(e).shape) for e in extras]
+    is_scalar = [len(s) == 0 for s in orig_shapes]
+    n_params = len(params)
+
+    def kernel(seed_ref, pos_ref, *rest):
+        extra_refs = rest[: len(extras)]
+        out_ref, acc_ref, samples_ref, scratch, sem = rest[len(extras) :]
+        vals = []
+        for er, s, sc in zip(extra_refs, orig_shapes, is_scalar):
+            if sc:
+                vals.append(er[0, 0])
+            elif tuple(er.shape) != s:
+                vals.append(er[:].reshape(s))
+            else:
+                vals.append(er[:])
+        pot = lambda x: pot_conv(x, *vals[n_params:])
+        step = step_builder(pot, *vals[:n_params])
+
+        pid = pl.program_id(0)
+        block_seed = (seed_ref[0] + pid * 7919).astype(jnp.uint32)
+        pos0 = pos_ref[:].T
+        phi0 = pot(pos0)
+
+        def body(i, carry):
+            pos, phi, acc = carry
+            rand_u = lambda shape, tag: _uniform01(
+                _mix_key(block_seed, i, tag), shape
+            )
+            rand_n = lambda shape, tag: _normal(
+                _mix_key(block_seed, i, tag),
+                _mix_key(block_seed, i, tag + 1),
+                shape,
+            )
+            pos, phi, accepted = step(pos, phi, rand_n, rand_u)
+
+            @pl.when((i + 1) % thin == 0)
+            def _():
+                scratch[:] = pos.T
+                rec = (i + 1) // thin - 1
+                dma = pltpu.make_async_copy(
+                    scratch,
+                    samples_ref.at[rec, pl.ds(pid * block_chains, block_chains), :],
+                    sem,
+                )
+                dma.start()
+                dma.wait()
+
+            return pos, phi, acc + accepted.astype(jnp.float32)
+
+        pos_f, _, acc = jax.lax.fori_loop(
+            0,
+            n_steps,
+            body,
+            (pos0, phi0, jnp.zeros((1, block_chains), jnp.float32)),
+        )
+        out_ref[:] = pos_f.T
+        acc_ref[:] = acc / n_steps
+
+    grid = (n // block_chains,)
+    extra_specs = [
+        pl.BlockSpec(
+            p.shape,
+            (lambda i, _nd=p.ndim: (0,) * _nd),
+            memory_space=pltpu.SMEM if sc else pltpu.VMEM,
+        )
+        for p, sc in zip(packed, is_scalar)
+    ]
+    interpret = (
+        pltpu.InterpretParams() if jax.default_backend() != "tpu" else False
+    )
+    final, acc, samples = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (block_chains, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            *extra_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (block_chains, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_chains), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # samples stay in HBM
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, d), positions.dtype),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_rec, n, d), positions.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_chains, d), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), positions, *packed)
+    return final, acc[0], samples
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_steps", "thin", "block_chains"),
+)
+def fused_pcn_chain_recorded(
+    potential_fn,
+    positions,
+    prior_mean,
+    prior_scale,
+    beta,
+    seed,
+    n_steps=100,
+    thin=1,
+    block_chains=256,
+):
+    """pCN with in-kernel trajectory recording: one launch returns
+    (final_positions, accept_rate, samples (n_steps//thin, n, d))."""
+    return _run_fused_recorded(
+        _pcn_step_builder,
+        potential_fn,
+        positions,
+        [
+            jnp.float32(beta),
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_scale, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        thin,
+        block_chains,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("potential_fn", "n_steps", "block_chains")
 )

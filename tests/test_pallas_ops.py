@@ -158,6 +158,40 @@ def test_fused_pcn_with_darcy_forward():
     np.testing.assert_allclose(fused_mean, ref_mean, atol=0.4)
 
 
+def test_recorded_chain_matches_unrecorded_and_distribution():
+    """In-kernel DMA recording: last record == final positions; recorded
+    trajectory has the right posterior."""
+    from ip_mcmc_tpu.ops import fused_pcn_chain_recorded
+
+    n, d = 512, 2
+    y = jnp.array([1.0, 1.0])
+
+    def phi(x):
+        return 0.5 * jnp.sum((y[:, None] - x) ** 2, axis=0)
+
+    pos0 = jnp.zeros((n, d), jnp.float32)
+    final, acc, samples = fused_pcn_chain_recorded(
+        phi, pos0, prior_mean=np.zeros(d), prior_scale=np.ones(d),
+        beta=0.5, seed=3, n_steps=600, thin=2, block_chains=128,
+    )
+    assert samples.shape == (300, n, d)
+    np.testing.assert_array_equal(np.asarray(samples[-1]), np.asarray(final))
+    flat = np.asarray(samples[100:]).reshape(-1, d)  # post-burn-in records
+    np.testing.assert_allclose(flat.mean(axis=0), [0.5, 0.5], atol=0.06)
+    np.testing.assert_allclose(flat.var(axis=0), [0.5, 0.5], rtol=0.2)
+    assert float(np.asarray(acc).mean()) > 0.2
+
+
+def test_recorded_thin_validation():
+    from ip_mcmc_tpu.ops import fused_pcn_chain_recorded
+
+    with pytest.raises(ValueError):
+        fused_pcn_chain_recorded(
+            gaussian_potential, jnp.zeros((128, 2)), np.zeros(2), np.ones(2),
+            0.5, 0, n_steps=10, thin=3, block_chains=128,
+        )
+
+
 def test_block_mismatch_raises():
     with pytest.raises(ValueError):
         fused_rwm_chain(
