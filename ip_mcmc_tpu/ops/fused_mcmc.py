@@ -286,11 +286,14 @@ def _run_fused_recorded(
 
             @pl.when((i + 1) % thin == 0)
             def _():
-                scratch[:] = pos.T
+                # chain-last buffer (n_rec, d, n): the DMA'd slice's minor
+                # dim is the 128-aligned chain axis (Mosaic requirement),
+                # and the (d, block) state needs no transpose to record
+                scratch[:] = pos
                 rec = (i + 1) // thin - 1
                 dma = pltpu.make_async_copy(
                     scratch,
-                    samples_ref.at[rec, pl.ds(pid * block_chains, block_chains), :],
+                    samples_ref.at[rec, :, pl.ds(pid * block_chains, block_chains)],
                     sem,
                 )
                 dma.start()
@@ -341,15 +344,15 @@ def _run_fused_recorded(
         out_shape=(
             jax.ShapeDtypeStruct((n, d), positions.dtype),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((n_rec, n, d), positions.dtype),
+            jax.ShapeDtypeStruct((n_rec, d, n), positions.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_chains, d), jnp.float32),
+            pltpu.VMEM((d, block_chains), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), positions, *packed)
-    return final, acc[0], samples
+    return final, acc[0], jnp.swapaxes(samples, 1, 2)
 
 
 @functools.partial(
