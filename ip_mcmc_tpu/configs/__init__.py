@@ -43,6 +43,8 @@ class Problem:
     data: Optional[np.ndarray] = None
     truth: Optional[np.ndarray] = None
     notes: str = ""
+    batched_potential_fn: Optional[Callable] = None  # (d, block)->(block,)
+    # for the fused Pallas path (runner uses it when kernel_params["fused"])
 
     @property
     def log_density_fn(self):
@@ -206,13 +208,14 @@ def _darcy_problem() -> tuple:
     noise = dist.DiagGaussian(mean=jnp.zeros(m), scale=0.002 * jnp.ones(m))
     y = fwd(u_true) + noise.sample(jax.random.key(301))
     phi = potentials.misfit_potential(fwd, y, noise)
-    return phi, prior, y, u_true
+    phi_batched = darcy.make_batched_misfit(aux, y, 0.002)
+    return phi, prior, y, u_true, phi_batched
 
 
 @register
 def darcy_pcn_4096() -> Problem:
     """BASELINE config 4: Darcy coefficient inversion, 64-dim KL, 4096 chains."""
-    phi, prior, y, u_true = _darcy_problem()
+    phi, prior, y, u_true, phi_batched = _darcy_problem()
     return Problem(
         name="darcy_pcn_4096",
         dim=64,
@@ -226,13 +229,14 @@ def darcy_pcn_4096() -> Problem:
         data=np.asarray(y),
         truth=np.asarray(u_true),
         notes="elliptic PDE inversion; whitened KL coordinates",
+        batched_potential_fn=phi_batched,
     )
 
 
 @register
 def darcy_smc() -> Problem:
     """BASELINE config 5: adaptive tempered SMC on the Darcy inverse problem."""
-    phi, prior, y, u_true = _darcy_problem()
+    phi, prior, y, u_true, _ = _darcy_problem()
     return Problem(
         name="darcy_smc",
         dim=64,
@@ -268,6 +272,7 @@ def burgers_pcn() -> Problem:
     noise = dist.DiagGaussian(mean=jnp.zeros(m), scale=0.02 * jnp.ones(m))
     y = fwd(u_true) + noise.sample(jax.random.key(401))
     phi = potentials.misfit_potential(fwd, y, noise)
+    phi_batched = burgers.make_batched_misfit(aux, y, 0.02)
     return Problem(
         name="burgers_pcn",
         dim=K,
@@ -281,4 +286,5 @@ def burgers_pcn() -> Problem:
         data=np.asarray(y),
         truth=np.asarray(u_true),
         notes="shock-forming forward map: derivative-free kernels only",
+        batched_potential_fn=phi_batched,
     )

@@ -32,6 +32,11 @@ def main(argv=None):
         help="write JSON-lines metric records (run summary + accept trace)",
     )
     ap.add_argument(
+        "--fused", action="store_true",
+        help="use the fully fused Pallas path (pCN configs with a batched "
+        "potential: darcy_pcn_4096, burgers_pcn)",
+    )
+    ap.add_argument(
         "--list", action="store_true", help="list configs and exit"
     )
     args = ap.parse_args(argv)
@@ -45,6 +50,8 @@ def main(argv=None):
         ap.error("--config is required (or use --list)")
 
     problem = configs.build(args.config)
+    if args.fused:
+        problem.kernel_params = {**problem.kernel_params, "fused": True}
     mesh = None
     if args.devices:
         from ip_mcmc_tpu import parallel
