@@ -32,6 +32,8 @@ def _build_kernel_and_state(problem, key, n_chains):
     kp = dict(problem.kernel_params)
     adapt = kp.pop("adapt", False)
     map_init = kp.pop("map_init", 0)
+    kp.pop("fused", None)  # handled by run_problem; ignored on other paths
+    kp.pop("block_chains", None)
     key_init, key_warm = jax.random.split(key)
     positions = problem.init_positions(key_init, n_chains)
     t0 = time.perf_counter()
