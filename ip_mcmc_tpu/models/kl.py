@@ -74,3 +74,80 @@ def laplacian_eigenvalues_2d(eigen_index: np.ndarray, alpha: float = 2.0, scale:
     """λ_{ij} = scale · (π²(i²+j²))^{−α} for the 2-D tensor modes."""
     k2 = np.pi**2 * (eigen_index[:, 0] ** 2 + eigen_index[:, 1] ** 2)
     return scale * k2 ** (-alpha)
+
+
+def matern_eigenvalues(
+    n_modes: int,
+    nu: float = 1.5,
+    lengthscale: float = 0.2,
+    variance: float = 1.0,
+):
+    """Matérn(ν, ℓ) KL spectrum for the 1-D sine basis on [0, 1].
+
+    SPDE characterization (Whittle–Matérn, Lindgren–Rue–Lindström 2011): a
+    Matérn field solves (κ² − Δ)^{(ν + d/2)/2} u = W with κ = √(2ν)/ℓ, so in
+    the Laplacian eigenbasis (sine modes, eigenfrequency πk) the covariance
+    eigenvalues are λ_k ∝ (κ² + (πk)²)^{−(ν + d/2)}, normalized here so that
+    Σλ_k · E[φ_k²] integrates to ``variance`` on average over the domain
+    (E[φ_k²] = 1 for the orthonormal basis ⇒ Σλ_k = variance · dim-factor).
+    """
+    k = np.arange(1, n_modes + 1)
+    kappa2 = 2.0 * nu / (lengthscale * lengthscale)
+    raw = (kappa2 + (np.pi * k) ** 2) ** (-(nu + 0.5))
+    return variance * raw / raw.sum()
+
+
+def matern_eigenvalues_2d(
+    eigen_index: np.ndarray,
+    nu: float = 1.5,
+    lengthscale: float = 0.2,
+    variance: float = 1.0,
+):
+    """Matérn(ν, ℓ) KL spectrum for the 2-D tensor sine modes (d = 2):
+    λ_{ij} ∝ (κ² + π²(i²+j²))^{−(ν + 1)}, normalized to total ``variance``."""
+    kappa2 = 2.0 * nu / (lengthscale * lengthscale)
+    k2 = np.pi**2 * (eigen_index[:, 0] ** 2 + eigen_index[:, 1] ** 2)
+    raw = (kappa2 + k2) ** (-(nu + 1.0))
+    return variance * raw / raw.sum()
+
+
+def matern_covariance(x: np.ndarray, y: np.ndarray = None, nu: float = 1.5,
+                      lengthscale: float = 0.2, variance: float = 1.0):
+    """Dense Matérn covariance matrix k(x, y) for ν ∈ {1/2, 3/2, 5/2, ∞}.
+
+    ``x``/``y``: (n,) or (n, d) point arrays. The closed-form Matérn family —
+    the reference's function-space priors are this class of GP covariance
+    (Stuart 2010 §2); ν=∞ gives the squared-exponential limit.
+    """
+    x = np.atleast_2d(np.asarray(x, float).T).T
+    y = x if y is None else np.atleast_2d(np.asarray(y, float).T).T
+    r = np.sqrt(((x[:, None, :] - y[None, :, :]) ** 2).sum(-1))
+    s = r / lengthscale
+    if nu == 0.5:
+        c = np.exp(-s)
+    elif nu == 1.5:
+        a = np.sqrt(3.0) * s
+        c = (1.0 + a) * np.exp(-a)
+    elif nu == 2.5:
+        a = np.sqrt(5.0) * s
+        c = (1.0 + a + a * a / 3.0) * np.exp(-a)
+    elif nu == np.inf:
+        c = np.exp(-0.5 * s * s)
+    else:
+        raise ValueError(f"closed-form Matérn needs nu in {{0.5, 1.5, 2.5, inf}}, got {nu}")
+    return variance * c
+
+
+def kl_from_covariance(cov: np.ndarray, n_modes: int):
+    """Numerical KL decomposition of an arbitrary dense covariance matrix.
+
+    Returns (basis (n_modes, n_points), eigenvalues (n_modes,)) — the leading
+    eigenpairs, eigenvalues descending, basis rows orthonormal. Use when the
+    prior covariance has no analytic eigenbasis (non-stationary kernels,
+    irregular grids): ``field = (coeffs * sqrt(eigenvalues)) @ basis``.
+    """
+    cov = np.asarray(cov, float)
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:n_modes]
+    lam = np.clip(w[order], 0.0, None)
+    return v[:, order].T.copy(), lam

@@ -30,6 +30,62 @@ class TestKL:
         np.testing.assert_allclose(gram, np.eye(9), atol=1e-3)
         assert ij.shape == (9, 2)
 
+    def test_matern_spectrum_decay_and_normalization(self):
+        lam = kl.matern_eigenvalues(32, nu=1.5, lengthscale=0.3, variance=2.5)
+        assert lam.shape == (32,)
+        assert np.all(np.diff(lam) < 0)  # monotone decay in frequency
+        np.testing.assert_allclose(lam.sum(), 2.5, rtol=1e-12)
+        # smoother field (larger nu) decays faster at high frequency
+        lam_smooth = kl.matern_eigenvalues(32, nu=2.5, lengthscale=0.3)
+        ratio = lam_smooth / lam_smooth[0]
+        assert ratio[-1] < (lam / lam[0])[-1]
+
+    def test_matern_spectrum_2d(self):
+        _, ij = kl.sine_basis_2d(4, 32)
+        lam = kl.matern_eigenvalues_2d(ij, nu=1.5, lengthscale=0.2, variance=1.0)
+        assert lam.shape == (16,)
+        np.testing.assert_allclose(lam.sum(), 1.0, rtol=1e-12)
+
+    def test_matern_covariance_closed_forms(self):
+        x = np.linspace(0, 1, 9)
+        for nu in (0.5, 1.5, 2.5, np.inf):
+            C = kl.matern_covariance(x, nu=nu, lengthscale=0.4, variance=1.7)
+            np.testing.assert_allclose(np.diag(C), 1.7, rtol=1e-12)
+            np.testing.assert_allclose(C, C.T)
+            w = np.linalg.eigvalsh(C)
+            assert w.min() > -1e-8  # PSD
+        with pytest.raises(ValueError):
+            kl.matern_covariance(x, nu=1.7)
+
+    def test_kl_from_covariance_reconstructs(self):
+        # full-rank KL of a Matérn covariance reproduces the matrix:
+        # C = Bᵀ diag(λ) B with orthonormal rows of B
+        x = np.linspace(0, 1, 16)
+        C = kl.matern_covariance(x, nu=1.5, lengthscale=0.3)
+        B, lam = kl.kl_from_covariance(C, n_modes=16)
+        np.testing.assert_allclose(B @ B.T, np.eye(16), atol=1e-10)
+        np.testing.assert_allclose(B.T @ np.diag(lam) @ B, C, atol=1e-8)
+        assert np.all(np.diff(lam) <= 1e-12)  # descending
+        # truncation keeps the leading eigenpairs
+        B4, lam4 = kl.kl_from_covariance(C, n_modes=4)
+        np.testing.assert_allclose(lam4, lam[:4])
+
+    def test_matern_prior_sample_variance(self, key):
+        # field samples from the KL-truncated Matérn prior have the kernel's
+        # pointwise variance (up to truncation + MC error)
+        from ip_mcmc_tpu.distributions import gaussian_kl_prior
+
+        n = 256
+        grid = (np.arange(n) + 0.5) / n
+        B = kl.sine_basis(64, grid)
+        lam = kl.matern_eigenvalues(64, nu=1.5, lengthscale=0.25, variance=1.0)
+        prior = gaussian_kl_prior(lam)
+        coeffs = prior.sample(key, (4000,))
+        fields = np.asarray(coeffs) @ B
+        var_mid = fields[:, n // 2].var()
+        # interior pointwise variance ≈ 2·Σλ_k sin²(·) averaged ≈ Σλ_k = 1
+        assert 0.6 < var_mid < 1.5
+
 
 class TestODE:
     def test_rk4_exponential_decay(self):
