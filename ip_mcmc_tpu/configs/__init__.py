@@ -45,6 +45,7 @@ class Problem:
     notes: str = ""
     batched_potential_fn: Optional[Callable] = None  # (d, block)->(block,)
     # for the fused Pallas path (runner uses it when kernel_params["fused"])
+    surrogate_potential_fn: Optional[Callable] = None  # cheap Φ* for da_pcn
 
     @property
     def log_density_fn(self):
@@ -230,6 +231,36 @@ def darcy_pcn_4096() -> Problem:
         truth=np.asarray(u_true),
         notes="elliptic PDE inversion; whitened KL coordinates",
         batched_potential_fn=phi_batched,
+    )
+
+
+@register
+def darcy_da_pcn() -> Problem:
+    """Delayed-acceptance pCN on Darcy: subchain against a LOOSE-CG surrogate
+    (8 Jacobi-PCG iterations vs the exact 48), one exact correction per
+    ``subchain_len`` proposals — the classic two-level trick for expensive
+    PDE forward models."""
+    phi, prior, y, u_true, phi_batched = _darcy_problem()
+    fwd_loose, aux_loose = darcy.make_darcy_forward(
+        n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0, cg_iters=8
+    )
+    noise = dist.DiagGaussian(mean=jnp.zeros(16), scale=0.002 * jnp.ones(16))
+    phi_surrogate = potentials.misfit_potential(fwd_loose, y, noise)
+    return Problem(
+        name="darcy_da_pcn",
+        dim=64,
+        prior=prior,
+        potential_fn=phi,
+        kernel="da_pcn",
+        kernel_params={"beta": 0.08, "subchain_len": 4},
+        n_chains=4096,
+        n_samples=250,
+        burn_in=150,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="two-level: loose-CG surrogate subchain + exact correction",
+        batched_potential_fn=phi_batched,
+        surrogate_potential_fn=phi_surrogate,
     )
 
 

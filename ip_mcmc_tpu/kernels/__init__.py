@@ -1,4 +1,4 @@
-from ip_mcmc_tpu.kernels import elliptical, hmc, mala, nuts, pcn, rwm
+from ip_mcmc_tpu.kernels import da_pcn, elliptical, hmc, mala, nuts, pcn, rwm, tempering
 from ip_mcmc_tpu.kernels.base import MHInfo
 
-__all__ = ["rwm", "pcn", "mala", "hmc", "nuts", "elliptical", "MHInfo"]
+__all__ = ["rwm", "pcn", "da_pcn", "mala", "hmc", "nuts", "elliptical", "tempering", "MHInfo"]

@@ -23,7 +23,7 @@ from ip_mcmc_tpu.adapt import (
     warmup_pcn,
     warmup_rwm,
 )
-from ip_mcmc_tpu.kernels import elliptical, hmc, mala, nuts, pcn, rwm
+from ip_mcmc_tpu.kernels import da_pcn, elliptical, hmc, mala, nuts, pcn, rwm
 
 
 def _build_kernel_and_state(problem, key, n_chains):
@@ -64,6 +64,17 @@ def _build_kernel_and_state(problem, key, n_chains):
             kernel = pcn.build_kernel(phi, prior, beta=beta)
         else:
             kernel = pcn.build_kernel(phi, prior, **kp)
+    elif problem.kernel == "da_pcn":
+        phi, prior = problem.potential_fn, problem.prior
+        surr = problem.surrogate_potential_fn
+        if surr is None:
+            raise ValueError(
+                f"config {problem.name}: kernel 'da_pcn' needs surrogate_potential_fn"
+            )
+        state = driver.init_chains(
+            lambda pos: da_pcn.init(pos, phi, surr), positions
+        )
+        kernel = da_pcn.build_kernel(phi, surr, prior, **kp)
     elif problem.kernel == "elliptical":
         phi, prior = problem.potential_fn, problem.prior
         state = driver.init_chains(elliptical.init, positions, phi)

@@ -1,0 +1,119 @@
+"""Delayed-acceptance pCN: exactness of the two-level correction.
+
+The surrogate may be ARBITRARILY wrong — the exact-potential correction must
+still produce the right posterior (only efficiency degrades). That is the
+defining property tested here, alongside degenerate-surrogate behavior and
+the runner/config wiring.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ip_mcmc_tpu import driver
+from ip_mcmc_tpu.distributions import DiagGaussian
+from ip_mcmc_tpu.kernels import da_pcn, pcn
+
+
+def _run(kernel, init_fn, n_chains=128, n_samples=500, burn_in=300, key=7):
+    key_init, key_run = jax.random.split(jax.random.key(key))
+    prior = DiagGaussian(mean=jnp.zeros(2), scale=jnp.ones(2))
+    positions = prior.sample(key_init, (n_chains,))
+    state = jax.vmap(init_fn)(positions)
+    return driver.sample_chains(
+        kernel, state, key_run, n_samples=n_samples, burn_in=burn_in
+    )
+
+
+class TestDAPCN:
+    # posterior for prior N(0, I), likelihood y = u + N(0, I), y = (1, 1):
+    # N(y/2, I/2)
+    y = jnp.array([1.0, 1.0])
+
+    @staticmethod
+    def phi(u):
+        return 0.5 * jnp.sum((TestDAPCN.y - u) ** 2)
+
+    def test_exact_posterior_with_biased_surrogate(self):
+        """Surrogate with the WRONG data and wrong scale: posterior must
+        still match the closed form (correction is exact)."""
+        prior = DiagGaussian(mean=jnp.zeros(2), scale=jnp.ones(2))
+        surrogate = lambda u: 0.35 * jnp.sum((u - 0.3) ** 2)  # wrong on purpose
+        kernel = da_pcn.build_kernel(
+            self.phi, surrogate, prior, beta=0.5, subchain_len=4
+        )
+        _, samples, infos = _run(
+            kernel, lambda p: da_pcn.init(p, self.phi, surrogate)
+        )
+        flat = np.asarray(samples).reshape(-1, 2)
+        np.testing.assert_allclose(flat.mean(axis=0), [0.5, 0.5], atol=0.06)
+        np.testing.assert_allclose(np.cov(flat.T), 0.5 * np.eye(2), atol=0.12)
+        acc = np.asarray(infos.accepted).mean()
+        assert 0.05 < acc < 1.0
+
+    def test_perfect_surrogate_always_accepts_correction(self):
+        """Φ* = Φ ⇒ the outer correction ratio is exactly 1."""
+        prior = DiagGaussian(mean=jnp.zeros(2), scale=jnp.ones(2))
+        kernel = da_pcn.build_kernel(
+            self.phi, self.phi, prior, beta=0.5, subchain_len=3
+        )
+        _, _, infos = _run(
+            kernel,
+            lambda p: da_pcn.init(p, self.phi, self.phi),
+            n_samples=100,
+            burn_in=20,
+        )
+        np.testing.assert_allclose(np.asarray(infos.accept_prob), 1.0, atol=1e-5)
+        # inner stage behaves like plain pCN: strictly between 0 and 1
+        inner = np.asarray(infos.inner_accept_rate).mean()
+        assert 0.2 < inner < 0.98
+
+    def test_matches_plain_pcn_distribution(self):
+        """DA-pCN with a good surrogate and plain pCN sample the same
+        posterior (moments agree within MC error)."""
+        prior = DiagGaussian(mean=jnp.zeros(2), scale=jnp.ones(2))
+        surrogate = lambda u: 0.5 * jnp.sum((self.y - u) ** 2) * 1.1
+        da_kernel = da_pcn.build_kernel(
+            self.phi, surrogate, prior, beta=0.5, subchain_len=4
+        )
+        _, s_da, _ = _run(da_kernel, lambda p: da_pcn.init(p, self.phi, surrogate))
+        plain = pcn.build_kernel(self.phi, prior, beta=0.5)
+        _, s_p, _ = _run(plain, lambda p: pcn.init(p, self.phi), key=11)
+        m_da = np.asarray(s_da).reshape(-1, 2).mean(0)
+        m_p = np.asarray(s_p).reshape(-1, 2).mean(0)
+        np.testing.assert_allclose(m_da, m_p, atol=0.05)
+
+    def test_validation(self):
+        prior = DiagGaussian(mean=jnp.zeros(2), scale=jnp.ones(2))
+        import pytest
+
+        with pytest.raises(ValueError):
+            da_pcn.build_kernel(self.phi, self.phi, prior, beta=1.5)
+        with pytest.raises(ValueError):
+            da_pcn.build_kernel(self.phi, self.phi, prior, beta=0.5, subchain_len=0)
+
+
+class TestDarcyDAConfig:
+    def test_runner_smoke(self):
+        """darcy_da_pcn config runs end-to-end through the runner (tiny)."""
+        from ip_mcmc_tpu import configs, runner
+
+        p = configs.build("darcy_da_pcn")
+        p.n_chains, p.n_samples, p.burn_in = 64, 20, 10
+        metrics = runner.run_problem(p)
+        assert metrics["kernel"] == "da_pcn"
+        assert 0.0 <= metrics["accept_rate"] <= 1.0
+        assert np.isfinite(metrics["min_ess"])
+
+    def test_surrogate_cheaper_than_exact(self):
+        """The loose-CG surrogate tracks the exact potential to a few
+        percent on prior draws (sanity of the two-level setup)."""
+        from ip_mcmc_tpu import configs
+
+        p = configs.build("darcy_da_pcn")
+        u = p.prior.sample(jax.random.key(5), (8,))
+        exact = jax.vmap(p.potential_fn)(u)
+        surr = jax.vmap(p.surrogate_potential_fn)(u)
+        # same order of magnitude — correlated enough to be a useful filter
+        ratio = np.asarray(surr) / np.asarray(exact)
+        assert np.all(ratio > 0.2) and np.all(ratio < 5.0)
