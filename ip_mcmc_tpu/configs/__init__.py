@@ -235,6 +235,33 @@ def darcy_pcn_4096() -> Problem:
 
 
 @register
+def darcy_mala_fused() -> Problem:
+    """Fused-Pallas MALA on Darcy: gradient-based proposals with the ADJOINT
+    CG solve inside the kernel (darcy.make_batched_misfit differentiable=True
+    → custom_vjp; ops.fused_mala_chain replays it via in-kernel jax.vjp)."""
+    phi, prior, y, u_true, _ = _darcy_problem()
+    _, aux = darcy.make_darcy_forward(
+        n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+    )
+    phi_batched = darcy.make_batched_misfit(aux, y, 0.002, differentiable=True)
+    return Problem(
+        name="darcy_mala_fused",
+        dim=64,
+        prior=prior,
+        potential_fn=phi,
+        kernel="mala",
+        kernel_params={"fused": True, "step_size": 0.012, "block_chains": 256},
+        n_chains=4096,
+        n_samples=400,
+        burn_in=300,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="adjoint-method gradients inside the fused kernel",
+        batched_potential_fn=phi_batched,
+    )
+
+
+@register
 def darcy_da_pcn() -> Problem:
     """Delayed-acceptance pCN on Darcy: subchain against a LOOSE-CG surrogate
     (8 Jacobi-PCG iterations vs the exact 48), one exact correction per

@@ -272,14 +272,52 @@ def _operator_diagonal_flat(a, n, masks, t_h, t_v):
     return d + 2.0 * h2 * a * masks["edge"]
 
 
+def _cg_flat(a, b, n, masks, t_h, t_v, inv_diag, n_iters, x0=None):
+    """Batched Jacobi-PCG on the flat (n², block) layout — shifts +
+    elementwise + per-chain reductions only (Mosaic-lowerable)."""
+
+    def dots(u, v):
+        return jnp.sum(u * v, axis=0)  # (block,)
+
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b if x0 is None else b - _apply_operator_flat(a, x, n, masks, t_h, t_v)
+    z = inv_diag * r
+    p = z
+    rz = dots(r, z)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Ap = _apply_operator_flat(a, p, n, masks, t_h, t_v)
+        pAp = dots(p, Ap)
+        alpha = jnp.where(pAp > 0.0, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * Ap
+        z = inv_diag * r
+        rz_new = dots(r, z)
+        beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz > 0.0, rz, 1.0), 0.0)
+        p = z + beta[None, :] * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (x, r, p, rz))
+    return x
+
+
 def make_batched_misfit(aux, data, noise_scale, cg_iters: int = 48,
-                        log_a_mean: float = 0.0):
+                        log_a_mean: float = 0.0, differentiable: bool = False):
     """Batched misfit Φ for FEATURES-FIRST (K, block) coefficient batches —
     the form consumed by ``ops.fused_pcn_chain``: KL reconstruction (MXU
     matmul), the ENTIRE Jacobi-PCG Darcy solve, observation and misfit all
     run inside the fused kernel, chains on VPU lanes, the flat (n², block)
     solution grid resident in VMEM (flat because Mosaic has no in-kernel
     2D↔3D reshape; the stencil uses sublane shifts + masks).
+
+    ``differentiable=True`` attaches a ``custom_vjp`` implementing the
+    ADJOINT METHOD (one extra CG solve of A λ = ∂Φ/∂x, plus the closed-form
+    derivative of the harmonic-mean transmissibilities w.r.t. the cell
+    conductivities) — reverse-mode through the CG iterations would need
+    cg_iters×(n², block) residuals in VMEM; the adjoint needs none. This is
+    what lets ``ops.fused_mala_chain`` run gradient-based MCMC on Darcy
+    entirely inside one Pallas kernel.
     """
     data = jnp.asarray(data, jnp.float32)
     noise_scale = jnp.asarray(noise_scale, jnp.float32)
@@ -293,42 +331,102 @@ def make_batched_misfit(aux, data, noise_scale, cg_iters: int = 48,
     obs_mat[np.arange(len(obs)), obs] = 1.0
     obs_mat = jnp.asarray(obs_mat)
 
-    def phi(U):  # (K, block) -> (block,)
+    def _forward(U):
+        """U (K, block) → (phi (block,), a, x, res) — shared fwd pass."""
         block = U.shape[1]
         log_a = log_a_mean + basis.T @ U  # (n², block)
         a = jnp.exp(log_a)
         t_h, t_v = _flat_transmissibilities(a, n, masks)
         b = jnp.broadcast_to(f, (n * n, block))
         inv_diag = 1.0 / _operator_diagonal_flat(a, n, masks, t_h, t_v)
-
-        def dots(u, v):
-            return jnp.sum(u * v, axis=0)  # (block,)
-
-        x = jnp.zeros_like(b)
-        r = b
-        z = inv_diag * r
-        p = z
-        rz = dots(r, z)
-
-        def body(_, carry):
-            x, r, p, rz = carry
-            Ap = _apply_operator_flat(a, p, n, masks, t_h, t_v)
-            pAp = dots(p, Ap)
-            alpha = jnp.where(pAp > 0.0, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
-            x = x + alpha[None, :] * p
-            r = r - alpha[None, :] * Ap
-            z = inv_diag * r
-            rz_new = dots(r, z)
-            beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz > 0.0, rz, 1.0), 0.0)
-            p = z + beta[None, :] * p
-            return x, r, p, rz_new
-
-        x, _, _, _ = jax.lax.fori_loop(0, cg_iters, body, (x, r, p, rz))
+        x = _cg_flat(a, b, n, masks, t_h, t_v, inv_diag, cg_iters)
         pred = obs_mat @ x  # (m, block), MXU matmul
         res = (data[:, None] - pred) / noise_scale
-        return 0.5 * jnp.sum(res * res, axis=0)
+        return 0.5 * jnp.sum(res * res, axis=0), a, x, res
 
+    if not differentiable:
+        def phi(U):  # (K, block) -> (block,)
+            return _forward(U)[0]
+
+        return phi
+
+    @jax.custom_vjp
+    def phi(U):
+        return _forward(U)[0]
+
+    def phi_fwd(U):
+        val, a, x, res = _forward(U)
+        return val, (a, x, res)
+
+    def phi_bwd(saved, t):  # t: (block,) cotangent of Φ
+        a, x, res = saved
+        h2 = float(n * n)
+        t_h, t_v = _flat_transmissibilities(a, n, masks)
+        inv_diag = 1.0 / _operator_diagonal_flat(a, n, masks, t_h, t_v)
+        # ∂Φ/∂x = −Oᵀ(res/σ); adjoint solve A λ = ∂Φ/∂x (A symmetric)
+        dphi_dx = -(obs_mat.T @ (res / noise_scale))
+        lam = _cg_flat(a, dphi_dx, n, masks, t_h, t_v, inv_diag, cg_iters)
+        # ∂Φ/∂a = −∇_a[λᵀ A(a) x]  (λ, x fixed):
+        # face term t_f(a_i, a_j)(x_i−x_j)(λ_i−λ_j), harmonic-mean derivative
+        # ∂t/∂a_i = 2h²(a_j/(a_i+a_j))², ∂t/∂a_j = 2h²(a_i/(a_i+a_j))²
+        a_r, a_d = _shift_up(a, 1), _shift_up(a, n)
+        den_h = 1.0 / (a + a_r + 1e-38)
+        den_v = 1.0 / (a + a_d + 1e-38)
+        s_h = (x - _shift_up(x, 1)) * (lam - _shift_up(lam, 1)) * masks["right"]
+        s_v = (x - _shift_up(x, n)) * (lam - _shift_up(lam, n)) * masks["down"]
+        g_a = (
+            2.0 * h2 * jnp.square(a_r * den_h) * s_h
+            + _shift_down(2.0 * h2 * jnp.square(a * den_h) * s_h, 1)
+            + 2.0 * h2 * jnp.square(a_d * den_v) * s_v
+            + _shift_down(2.0 * h2 * jnp.square(a * den_v) * s_v, n)
+            + 2.0 * h2 * x * lam * masks["edge"]
+        )
+        g_loga = a * (-g_a)  # chain: a = exp(log a); sign from δΦ = −λᵀ δA x
+        g_U = basis @ (g_loga * t[None, :])  # (K, block)
+        return (g_U,)
+
+    phi.defvjp(phi_fwd, phi_bwd)
     return phi
+
+
+def make_batched_misfit_warm(aux, data, noise_scale, cg_iters: int = 16,
+                             log_a_mean: float = 0.0):
+    """WARM-STARTED batched misfit for the fused pCN path: ``phi2(U, x0) ->
+    (phi, x)`` where ``x0`` is the CG start (the chain's previous accepted
+    solution) and ``x`` the converged pressure, carried in the kernel state
+    (ROADMAP P1). pCN proposals are local, so starting CG at the current
+    solution cuts the iteration count ~2-3× at equal residual (measured:
+    warm-16 ≲ cold-32). The potential then depends weakly on the chain
+    history through ``x0`` (solver error ~1e-4 relative ≪ observation
+    noise); exactness-critical runs should keep the cold path or pair the
+    warm one with delayed acceptance.
+
+    Returns (phi2, aux_dim) with aux_dim = n² (the carried solution rows).
+    """
+    data = jnp.asarray(data, jnp.float32)
+    noise_scale = jnp.asarray(noise_scale, jnp.float32)
+    basis = aux["scaled_basis"]
+    obs = np.asarray(aux["obs_indices"])
+    f = jnp.asarray(aux["source"]).reshape(-1, 1)
+    n = int(aux["n_grid"])
+    masks = _flat_masks(n)
+    obs_mat = np.zeros((len(obs), n * n), np.float32)
+    obs_mat[np.arange(len(obs)), obs] = 1.0
+    obs_mat = jnp.asarray(obs_mat)
+
+    def phi2(U, x0):  # (K, block), (n², block) -> ((block,), (n², block))
+        block = U.shape[1]
+        log_a = log_a_mean + basis.T @ U
+        a = jnp.exp(log_a)
+        t_h, t_v = _flat_transmissibilities(a, n, masks)
+        b = jnp.broadcast_to(f, (n * n, block))
+        inv_diag = 1.0 / _operator_diagonal_flat(a, n, masks, t_h, t_v)
+        x = _cg_flat(a, b, n, masks, t_h, t_v, inv_diag, cg_iters, x0=x0)
+        pred = obs_mat @ x
+        res = (data[:, None] - pred) / noise_scale
+        return 0.5 * jnp.sum(res * res, axis=0), x
+
+    return phi2, n * n
 
 
 def solve_pressure(u, aux, log_a_mean: float = 0.0):

@@ -1,7 +1,17 @@
 from ip_mcmc_tpu.ops.fused_mcmc import (
+    fused_mala_chain,
+    fused_mala_chain_recorded,
     fused_pcn_chain,
     fused_pcn_chain_recorded,
     fused_rwm_chain,
+    fused_rwm_chain_recorded,
 )
 
-__all__ = ["fused_rwm_chain", "fused_pcn_chain", "fused_pcn_chain_recorded"]
+__all__ = [
+    "fused_rwm_chain",
+    "fused_rwm_chain_recorded",
+    "fused_mala_chain",
+    "fused_mala_chain_recorded",
+    "fused_pcn_chain",
+    "fused_pcn_chain_recorded",
+]

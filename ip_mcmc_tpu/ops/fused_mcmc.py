@@ -80,6 +80,22 @@ def _normal(key1, key2, shape):
     return z[:d]
 
 
+def _trace_potential(step_builder, potential_fn, example):
+    """Trace the potential (or, for gradient-based kernels, its
+    value-and-grad via ``jax.vjp``) to a jaxpr OUTSIDE the Pallas kernel, so
+    every closed-over constant — including those hidden in a ``custom_vjp``
+    backward (the Darcy adjoint's basis/observation matrices) — is hoisted
+    into explicit kernel operands (Pallas forbids captured constants)."""
+    if getattr(step_builder, "needs_grad", False):
+        def traced(x):
+            phi, vjp = jax.vjp(potential_fn, x)
+            (g,) = vjp(jnp.ones_like(phi))
+            return phi, g
+
+        return jax.make_jaxpr(traced)(example)
+    return jax.make_jaxpr(potential_fn)(example)
+
+
 def _pack2d(a):
     a = jnp.asarray(a)
     if a.ndim == 0:
@@ -90,8 +106,10 @@ def _pack2d(a):
 
 
 def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps, block_chains):
-    """Shared driver. ``step_builder(pot, *params) -> step(pos_t, phi,
-    rand_n, rand_u) -> (pos_t, phi, accepted)`` with pos_t (d, block)."""
+    """Shared driver. ``step_builder(pot, *params) -> (init, step)`` with
+    ``init(pos_t) -> carry`` (carry[0] is the (d, block) position by
+    convention) and ``step(carry, rand_n, rand_u) -> (carry, accepted)`` —
+    the generalized carry lets kernels cache extra state (MALA's gradient)."""
     positions = jnp.asarray(positions, jnp.float32)
     n, d = positions.shape
     if n % block_chains:
@@ -99,11 +117,12 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps, blo
             f"n_chains {n} must be a multiple of block_chains {block_chains}"
         )
     example = jax.ShapeDtypeStruct((d, block_chains), positions.dtype)
-    closed_pot = jax.make_jaxpr(potential_fn)(example)
+    closed_pot = _trace_potential(step_builder, potential_fn, example)
     pot_consts = [jnp.asarray(c) for c in closed_pot.consts]
 
     def pot_conv(x, *cs):
-        return jax.core.eval_jaxpr(closed_pot.jaxpr, list(cs), x)[0]
+        out = jax.core.eval_jaxpr(closed_pot.jaxpr, list(cs), x)
+        return out[0] if len(out) == 1 else tuple(out)
 
     extras = [jnp.asarray(p, jnp.float32) for p in params] + list(pot_consts)
     packed = [_pack2d(e) for e in extras]
@@ -125,14 +144,13 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps, blo
         param_vals = vals[:n_params]
         const_vals = vals[n_params:]
         pot = lambda x: pot_conv(x, *const_vals)
-        step = step_builder(pot, *param_vals)
+        step_init, step = step_builder(pot, *param_vals)
 
         block_seed = (seed_ref[0] + pl.program_id(0) * 7919).astype(jnp.uint32)
         pos0 = pos_ref[:].T  # chain-last layout: (d, block)
-        phi0 = pot(pos0)
 
-        def body(i, carry):
-            pos, phi, acc = carry
+        def body(i, state):
+            carry, acc = state
             rand_u = lambda shape, tag: _uniform01(
                 _mix_key(block_seed, i, tag), shape
             )
@@ -141,16 +159,16 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps, blo
                 _mix_key(block_seed, i, tag + 1),
                 shape,
             )
-            pos, phi, accepted = step(pos, phi, rand_n, rand_u)
-            return pos, phi, acc + accepted.astype(jnp.float32)
+            carry, accepted = step(carry, rand_n, rand_u)
+            return carry, acc + accepted.astype(jnp.float32)
 
-        pos_f, _, acc = jax.lax.fori_loop(
+        carry_f, acc = jax.lax.fori_loop(
             0,
             n_steps,
             body,
-            (pos0, phi0, jnp.zeros((1, block_chains), jnp.float32)),
+            (step_init(pos0), jnp.zeros((1, block_chains), jnp.float32)),
         )
-        out_ref[:] = pos_f.T
+        out_ref[:] = carry_f[0].T
         acc_ref[:] = acc / n_steps
 
     grid = (n // block_chains,)
@@ -191,7 +209,11 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps, blo
 
 
 def _rwm_step_builder(pot, step_size):
-    def step(pos, phi, rand_n, rand_u):
+    def init(pos):
+        return (pos, pot(pos))
+
+    def step(carry, rand_n, rand_u):
+        pos, phi = carry
         xi = rand_n(pos.shape, 0)
         prop = pos + step_size * xi
         phi_prop = pot(prop)
@@ -200,16 +222,19 @@ def _rwm_step_builder(pot, step_size):
         return (
             jnp.where(accept[None, :], prop, pos),
             jnp.where(accept, phi_prop, phi),
-            accept[None, :],
-        )
+        ), accept[None, :]
 
-    return step
+    return init, step
 
 
 def _pcn_step_builder(pot, beta, mean, scale):
     contraction = jnp.sqrt(1.0 - beta * beta)
 
-    def step(pos, phi, rand_n, rand_u):
+    def init(pos):
+        return (pos, pot(pos))
+
+    def step(carry, rand_n, rand_u):
+        pos, phi = carry
         m = mean[:, None]
         xi = scale[:, None] * rand_n(pos.shape, 0)
         prop = m + contraction * (pos - m) + beta * xi
@@ -219,10 +244,51 @@ def _pcn_step_builder(pot, beta, mean, scale):
         return (
             jnp.where(accept[None, :], prop, pos),
             jnp.where(accept, phi_prop, phi),
-            accept[None, :],
-        )
+        ), accept[None, :]
 
-    return step
+    return init, step
+
+
+def _mala_step_builder(pot_and_grad, step_size):
+    """MALA on exp(−Φ): the driver pre-traces value-and-grad of the batched
+    potential (``needs_grad`` flag → ``_trace_potential``), so ``pot_and_
+    grad(x) -> (Φ, ∇Φ)`` here replays a jaxpr whose constants are kernel
+    operands. Reverse-differentiable potentials only — analytic, linear
+    misfits, or adjoint-equipped PDE misfits (``darcy.make_batched_misfit(
+    differentiable=True)``); not the plain fori_loop CG/FV misfits."""
+    eps = step_size
+
+    def init(pos):
+        phi, g = pot_and_grad(pos)
+        return (pos, phi, g)
+
+    def step(carry, rand_n, rand_u):
+        pos, phi, g = carry
+        xi = rand_n(pos.shape, 0)
+        half_eps2 = 0.5 * eps * eps
+        mean_fwd = pos - half_eps2 * g  # ∇log π = −∇Φ
+        prop = mean_fwd + eps * xi
+        phi_prop, g_prop = pot_and_grad(prop)
+        mean_rev = prop - half_eps2 * g_prop
+        inv2e2 = 1.0 / (2.0 * eps * eps)
+        d_rev = pos - mean_rev
+        log_q_rev = -jnp.sum(d_rev * d_rev, axis=0) * inv2e2
+        log_q_fwd = -jnp.sum(xi * xi, axis=0) * 0.5  # ‖prop−mean_fwd‖²=ε²‖ξ‖²
+        log_ratio = (phi - phi_prop) + log_q_rev - log_q_fwd
+        log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+        log_u = jnp.log(rand_u((1, pos.shape[1]), 2))[0]
+        accept = log_u < log_ratio
+        acc2 = accept[None, :]
+        return (
+            jnp.where(acc2, prop, pos),
+            jnp.where(accept, phi_prop, phi),
+            jnp.where(acc2, g_prop, g),
+        ), acc2
+
+    return init, step
+
+
+_mala_step_builder.needs_grad = True
 
 
 def _run_fused_recorded(
@@ -241,11 +307,12 @@ def _run_fused_recorded(
         raise ValueError(f"n_steps {n_steps} must be a multiple of thin {thin}")
     n_rec = n_steps // thin
     example = jax.ShapeDtypeStruct((d, block_chains), positions.dtype)
-    closed_pot = jax.make_jaxpr(potential_fn)(example)
+    closed_pot = _trace_potential(step_builder, potential_fn, example)
     pot_consts = [jnp.asarray(c) for c in closed_pot.consts]
 
     def pot_conv(x, *cs):
-        return jax.core.eval_jaxpr(closed_pot.jaxpr, list(cs), x)[0]
+        out = jax.core.eval_jaxpr(closed_pot.jaxpr, list(cs), x)
+        return out[0] if len(out) == 1 else tuple(out)
 
     extras = [jnp.asarray(p, jnp.float32) for p in params] + list(pot_consts)
     packed = [_pack2d(e) for e in extras]
@@ -265,15 +332,14 @@ def _run_fused_recorded(
             else:
                 vals.append(er[:])
         pot = lambda x: pot_conv(x, *vals[n_params:])
-        step = step_builder(pot, *vals[:n_params])
+        step_init, step = step_builder(pot, *vals[:n_params])
 
         pid = pl.program_id(0)
         block_seed = (seed_ref[0] + pid * 7919).astype(jnp.uint32)
         pos0 = pos_ref[:].T
-        phi0 = pot(pos0)
 
-        def body(i, carry):
-            pos, phi, acc = carry
+        def body(i, state):
+            carry, acc = state
             rand_u = lambda shape, tag: _uniform01(
                 _mix_key(block_seed, i, tag), shape
             )
@@ -282,14 +348,14 @@ def _run_fused_recorded(
                 _mix_key(block_seed, i, tag + 1),
                 shape,
             )
-            pos, phi, accepted = step(pos, phi, rand_n, rand_u)
+            carry, accepted = step(carry, rand_n, rand_u)
 
             @pl.when((i + 1) % thin == 0)
             def _():
                 # chain-last buffer (n_rec, d, n): the DMA'd slice's minor
                 # dim is the 128-aligned chain axis (Mosaic requirement),
                 # and the (d, block) state needs no transpose to record
-                scratch[:] = pos
+                scratch[:] = carry[0]
                 rec = (i + 1) // thin - 1
                 dma = pltpu.make_async_copy(
                     scratch,
@@ -299,15 +365,15 @@ def _run_fused_recorded(
                 dma.start()
                 dma.wait()
 
-            return pos, phi, acc + accepted.astype(jnp.float32)
+            return carry, acc + accepted.astype(jnp.float32)
 
-        pos_f, _, acc = jax.lax.fori_loop(
+        carry_f, acc = jax.lax.fori_loop(
             0,
             n_steps,
             body,
-            (pos0, phi0, jnp.zeros((1, block_chains), jnp.float32)),
+            (step_init(pos0), jnp.zeros((1, block_chains), jnp.float32)),
         )
-        out_ref[:] = pos_f.T
+        out_ref[:] = carry_f[0].T
         acc_ref[:] = acc / n_steps
 
     grid = (n // block_chains,)
@@ -404,6 +470,69 @@ def fused_rwm_chain(
         [jnp.float32(step_size)],
         seed,
         n_steps,
+        block_chains,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("potential_fn", "n_steps", "block_chains")
+)
+def fused_mala_chain(
+    potential_fn, positions, step_size, seed, n_steps=100, block_chains=256
+):
+    """``n_steps`` of MALA on exp(−potential), fused in VMEM with IN-KERNEL
+    gradients (``jax.vjp`` of the batched potential, lowered by Mosaic).
+    ``potential_fn`` must be reverse-differentiable: analytic / linear-misfit
+    targets (not the fori_loop CG/FV misfits). Returns
+    (final_positions (n, d), acceptance_rate_per_chain (n,))."""
+    return _run_fused(
+        _mala_step_builder,
+        potential_fn,
+        positions,
+        [jnp.float32(step_size)],
+        seed,
+        n_steps,
+        block_chains,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_steps", "thin", "block_chains"),
+)
+def fused_mala_chain_recorded(
+    potential_fn, positions, step_size, seed, n_steps=100, thin=1, block_chains=256
+):
+    """MALA with in-kernel trajectory recording: one launch returns
+    (final_positions, accept_rate, samples (n_steps//thin, n, d))."""
+    return _run_fused_recorded(
+        _mala_step_builder,
+        potential_fn,
+        positions,
+        [jnp.float32(step_size)],
+        seed,
+        n_steps,
+        thin,
+        block_chains,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_steps", "thin", "block_chains"),
+)
+def fused_rwm_chain_recorded(
+    potential_fn, positions, step_size, seed, n_steps=100, thin=1, block_chains=256
+):
+    """RWM with in-kernel trajectory recording (see fused_pcn_chain_recorded)."""
+    return _run_fused_recorded(
+        _rwm_step_builder,
+        potential_fn,
+        positions,
+        [jnp.float32(step_size)],
+        seed,
+        n_steps,
+        thin,
         block_chains,
     )
 

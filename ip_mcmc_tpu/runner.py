@@ -151,11 +151,11 @@ def run_problem(
         return _run_smc(problem, key, n_chains)
 
     if (
-        problem.kernel == "pcn"
+        problem.kernel in ("pcn", "mala", "rwm")
         and problem.kernel_params.get("fused")
         and problem.batched_potential_fn is not None
     ):
-        return _run_fused_pcn(problem, key, n_chains, n_samples)
+        return _run_fused_mcmc(problem, key, n_chains, n_samples)
 
     key_build, key_run = jax.random.split(key)
     kernel, state, warm_s = _build_kernel_and_state(problem, key_build, n_chains)
@@ -229,33 +229,52 @@ def run_problem(
     return metrics
 
 
-def _run_fused_pcn(problem, key, n_chains, n_samples):
-    """The fully fused Pallas pCN path (kernel_params={'fused': True}):
-    burn-in launch + recorded sampling launch, diagnostics on the recorded
-    series. This is the configuration behind the headline bench numbers."""
-    from ip_mcmc_tpu.ops import fused_pcn_chain, fused_pcn_chain_recorded
+def _run_fused_mcmc(problem, key, n_chains, n_samples):
+    """The fully fused Pallas path (kernel_params={'fused': True}) for
+    pCN / MALA / RWM: burn-in launch + recorded sampling launch, diagnostics
+    on the recorded series. This is the configuration behind the headline
+    bench numbers. pCN consumes the data misfit alone (prior-reversible);
+    MALA/RWM target the full posterior, so the whitened-prior potential is
+    folded into the batched potential here."""
+    from ip_mcmc_tpu import ops
 
     kp = dict(problem.kernel_params)
-    beta = kp.get("beta", 0.2)
     block = min(int(kp.get("block_chains", 512)), n_chains)
     phi_b = problem.batched_potential_fn
     pm = np.asarray(problem.prior.mean)
     ps = np.asarray(problem.prior.scale)
 
+    if problem.kernel == "pcn":
+        beta = kp.get("beta", 0.2)
+        run_kw = dict(prior_mean=pm, prior_scale=ps, beta=beta)
+        chain, chain_rec = ops.fused_pcn_chain, ops.fused_pcn_chain_recorded
+        phi_full = phi_b
+    else:
+        pm_j, ps_j = jnp.asarray(pm), jnp.asarray(ps)
+
+        def phi_full(U):  # data misfit + prior potential (full −log π)
+            z = (U - pm_j[:, None]) / ps_j[:, None]
+            return phi_b(U) + 0.5 * jnp.sum(z * z, axis=0)
+
+        run_kw = dict(step_size=kp.get("step_size", 0.05))
+        if problem.kernel == "mala":
+            chain, chain_rec = ops.fused_mala_chain, ops.fused_mala_chain_recorded
+        else:
+            chain, chain_rec = ops.fused_rwm_chain, ops.fused_rwm_chain_recorded
+
     positions = problem.init_positions(key, n_chains)
     t0 = time.perf_counter()
-    positions, _ = fused_pcn_chain(
-        phi_b, positions, prior_mean=pm, prior_scale=ps, beta=beta,
-        seed=1, n_steps=problem.burn_in, block_chains=block,
+    positions, _ = chain(
+        phi_full, positions, seed=1, n_steps=problem.burn_in,
+        block_chains=block, **run_kw,
     )
     jax.block_until_ready(positions)
     burn_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    final, acc, samples = fused_pcn_chain_recorded(
-        phi_b, positions, prior_mean=pm, prior_scale=ps, beta=beta,
-        seed=2, n_steps=n_samples * problem.thin, thin=problem.thin,
-        block_chains=block,
+    final, acc, samples = chain_rec(
+        phi_full, positions, seed=2, n_steps=n_samples * problem.thin,
+        thin=problem.thin, block_chains=block, **run_kw,
     )
     jax.block_until_ready(samples)
     run_s = time.perf_counter() - t0
@@ -263,7 +282,7 @@ def _run_fused_pcn(problem, key, n_chains, n_samples):
     summ = diagnostics.summarize(samples)
     return {
         "config": problem.name,
-        "kernel": "pcn(fused)",
+        "kernel": f"{problem.kernel}(fused)",
         "n_chains": int(n_chains),
         "n_samples": int(n_samples),
         "dim": int(problem.dim),

@@ -305,3 +305,53 @@ class TestLinear:
         prec = np.eye(3) + A.T @ A / 0.25
         np.testing.assert_allclose(cov, np.linalg.inv(prec), rtol=1e-8)
         np.testing.assert_allclose(mean, np.linalg.solve(prec, A.T @ y / 0.25), rtol=1e-8)
+
+
+class TestDarcyAdjoint:
+    """make_batched_misfit(differentiable=True): adjoint-method gradient."""
+
+    def _setup(self):
+        from ip_mcmc_tpu import distributions as dist
+        from ip_mcmc_tpu import potentials
+
+        fwd, aux = darcy.make_darcy_forward(
+            n_grid=8, n_modes_per_dim=4, alpha=2.0, field_scale=10.0
+        )
+        m = 16
+        noise = dist.DiagGaussian(mean=jnp.zeros(m), scale=0.002 * jnp.ones(m))
+        u_true = jax.random.normal(jax.random.key(300), (16,))
+        y = fwd(u_true) + noise.sample(jax.random.key(301))
+        phi_std = potentials.misfit_potential(fwd, y, noise)
+        phi_b = darcy.make_batched_misfit(aux, y, 0.002, differentiable=True)
+        return phi_std, phi_b
+
+    def test_adjoint_matches_implicit_ad(self):
+        """Adjoint gradient == implicit-diff gradient of the standard path
+        (custom_linear_solve) — two independent derivations."""
+        phi_std, phi_b = self._setup()
+        U = jax.random.normal(jax.random.key(7), (16, 4)) * 0.5
+        v_b, v_s = phi_b(U), jax.vmap(phi_std)(U.T)
+        np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_s), rtol=1e-4)
+        g_b = jax.grad(lambda u: jnp.sum(phi_b(u)))(U)
+        g_s = jax.vmap(jax.grad(phi_std))(U.T).T
+        np.testing.assert_allclose(
+            np.asarray(g_b), np.asarray(g_s), rtol=1e-3, atol=1e-3
+        )
+
+    def test_adjoint_matches_finite_differences(self):
+        """O(1) noise scale so the f32 central difference doesn't cancel
+        (phi ~ 1e4 at scale 0.002 leaves FD no mantissa to difference)."""
+        from ip_mcmc_tpu import distributions as dist
+
+        fwd, aux = darcy.make_darcy_forward(
+            n_grid=8, n_modes_per_dim=4, alpha=2.0, field_scale=10.0
+        )
+        u_true = jax.random.normal(jax.random.key(300), (16,))
+        y = fwd(u_true) + 0.1 * jax.random.normal(jax.random.key(301), (16,))
+        phi_b = darcy.make_batched_misfit(aux, y, 0.5, differentiable=True)
+        U = jax.random.normal(jax.random.key(9), (16, 2)) * 0.3
+        g = jax.grad(lambda u: jnp.sum(phi_b(u)))(U)
+        for (i, c) in [(0, 0), (5, 1), (11, 0)]:
+            e = jnp.zeros_like(U).at[i, c].set(1e-2)
+            fd = (phi_b(U + e) - phi_b(U - e))[c] / 2e-2
+            np.testing.assert_allclose(float(g[i, c]), float(fd), rtol=3e-2, atol=1e-3)

@@ -198,3 +198,104 @@ def test_block_mismatch_raises():
             gaussian_potential, jnp.zeros((100, 2)), 0.5, 0, n_steps=10,
             block_chains=64,
         )
+
+
+def test_fused_mala_targets_gaussian():
+    """Fused MALA (in-kernel jax.vjp gradients) samples the right target."""
+    from ip_mcmc_tpu.ops import fused_mala_chain
+
+    n, d = 512, 2
+    pos = jnp.zeros((n, d), jnp.float32)
+    pos, _ = fused_mala_chain(
+        gaussian_potential, pos, step_size=0.7, seed=0, n_steps=500,
+        block_chains=128,
+    )
+    pos, acc = fused_mala_chain(
+        gaussian_potential, pos, step_size=0.7, seed=1, n_steps=500,
+        block_chains=128,
+    )
+    p = np.asarray(pos)
+    np.testing.assert_allclose(p.mean(axis=0), [1.0, -0.5], atol=0.2)
+    np.testing.assert_allclose(p.var(axis=0), [2.0, 0.5], rtol=0.35)
+    assert 0.3 < float(np.asarray(acc).mean()) < 1.0
+
+
+def test_fused_mala_linear_misfit_conjugate():
+    """MALA through a linear forward misfit: gradient = matmul transpose;
+    the MXU path of the in-kernel vjp. Conjugate posterior as oracle."""
+    from ip_mcmc_tpu.ops import fused_mala_chain
+
+    d, m, n = 4, 3, 512
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.standard_normal((m, d)) / np.sqrt(d), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    sigma = 0.5
+
+    def phi(x):  # (d, block) -> (block,): misfit + PRIOR (MALA needs full −logπ)
+        r = (y[:, None] - A @ x) / sigma
+        return 0.5 * jnp.sum(r * r, axis=0) + 0.5 * jnp.sum(x * x, axis=0)
+
+    H = np.linalg.inv(np.eye(d) + np.asarray(A).T @ np.asarray(A) / sigma**2)
+    mu = H @ np.asarray(A).T @ np.asarray(y) / sigma**2
+
+    pos = jnp.zeros((n, d), jnp.float32)
+    pos, _ = fused_mala_chain(phi, pos, step_size=0.5, seed=3, n_steps=800,
+                              block_chains=128)
+    pos, acc = fused_mala_chain(phi, pos, step_size=0.5, seed=4, n_steps=800,
+                                block_chains=128)
+    p = np.asarray(pos)
+    np.testing.assert_allclose(p.mean(axis=0), mu, atol=0.12)
+    np.testing.assert_allclose(np.cov(p.T), H, atol=0.15)
+    assert float(np.asarray(acc).mean()) > 0.3
+
+
+def test_fused_mala_recorded_matches_endpoint():
+    """Recorded MALA: last recorded step == endpoint of the same launch."""
+    from ip_mcmc_tpu.ops import fused_mala_chain_recorded
+
+    n, d = 256, 2
+    pos = jnp.zeros((n, d), jnp.float32)
+    final, acc, samples = fused_mala_chain_recorded(
+        gaussian_potential, pos, step_size=0.7, seed=5, n_steps=40, thin=4,
+        block_chains=128,
+    )
+    assert samples.shape == (10, n, d)
+    np.testing.assert_allclose(np.asarray(samples[-1]), np.asarray(final))
+
+
+def test_fused_rwm_recorded_matches_endpoint():
+    from ip_mcmc_tpu.ops import fused_rwm_chain_recorded
+
+    n, d = 256, 2
+    pos = jnp.zeros((n, d), jnp.float32)
+    final, acc, samples = fused_rwm_chain_recorded(
+        gaussian_potential, pos, step_size=0.9, seed=6, n_steps=30, thin=3,
+        block_chains=128,
+    )
+    assert samples.shape == (10, n, d)
+    np.testing.assert_allclose(np.asarray(samples[-1]), np.asarray(final))
+
+
+def test_fused_mala_darcy_adjoint_smoke():
+    """Gradient-based MCMC on Darcy entirely inside the fused kernel: the
+    in-kernel vjp replays the adjoint CG solve (custom_vjp consts hoisted
+    to kernel operands)."""
+    from ip_mcmc_tpu import distributions as dist
+    from ip_mcmc_tpu.models import darcy
+    from ip_mcmc_tpu.ops import fused_mala_chain
+
+    fwd, aux = darcy.make_darcy_forward(n_grid=8, n_modes_per_dim=4,
+                                        alpha=2.0, field_scale=10.0)
+    K, m = 16, 16
+    noise = dist.DiagGaussian(mean=jnp.zeros(m), scale=0.002 * jnp.ones(m))
+    u_true = jax.random.normal(jax.random.key(300), (K,))
+    y = fwd(u_true) + noise.sample(jax.random.key(301))
+    phi_data = darcy.make_batched_misfit(aux, y, 0.002, cg_iters=24,
+                                         differentiable=True)
+    phi = lambda U: phi_data(U) + 0.5 * jnp.sum(U * U, axis=0)
+    pos = jax.random.normal(jax.random.key(1), (64, K)) * 0.1
+    pos2, acc = fused_mala_chain(phi, pos, step_size=0.02, seed=3, n_steps=5,
+                                 block_chains=64)
+    assert np.isfinite(np.asarray(pos2)).all()
+    assert not np.allclose(np.asarray(pos2), np.asarray(pos))
+    assert 0.0 < float(np.asarray(acc).mean()) <= 1.0
