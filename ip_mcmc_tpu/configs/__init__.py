@@ -46,6 +46,8 @@ class Problem:
     batched_potential_fn: Optional[Callable] = None  # (d, block)->(block,)
     # for the fused Pallas path (runner uses it when kernel_params["fused"])
     surrogate_potential_fn: Optional[Callable] = None  # cheap Φ* for da_pcn
+    # warm-started fused path: (phi2(U, x0) -> (phi, x), aux_dim)
+    batched_warm_potential: Optional[tuple] = None
 
     @property
     def log_density_fn(self):
@@ -231,6 +233,35 @@ def darcy_pcn_4096() -> Problem:
         truth=np.asarray(u_true),
         notes="elliptic PDE inversion; whitened KL coordinates",
         batched_potential_fn=phi_batched,
+    )
+
+
+@register
+def darcy_pcn_warm() -> Problem:
+    """Warm-started fused pCN on Darcy: the CG solution rides the kernel
+    state, proposal solves start from it (16 iterations ≈ cold 32 at equal
+    residual — ROADMAP P1)."""
+    phi, prior, y, u_true, phi_batched = _darcy_problem()
+    _, aux = darcy.make_darcy_forward(
+        n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+    )
+    warm = darcy.make_batched_misfit_warm(aux, y, 0.002, cg_iters=16)
+    return Problem(
+        name="darcy_pcn_warm",
+        dim=64,
+        prior=prior,
+        potential_fn=phi,
+        kernel="pcn",
+        kernel_params={"fused": True, "warm": True, "beta": 0.08,
+                       "block_chains": 256},
+        n_chains=4096,
+        n_samples=500,
+        burn_in=500,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="CG warm-start carried in kernel state; ~2x over cold-48",
+        batched_potential_fn=phi_batched,
+        batched_warm_potential=warm,
     )
 
 

@@ -2,6 +2,8 @@ from ip_mcmc_tpu.ops.fused_mcmc import (
     fused_mala_chain,
     fused_mala_chain_recorded,
     fused_pcn_chain,
+    fused_pcn_chain_warm,
+    fused_pcn_chain_warm_recorded,
     fused_pcn_chain_recorded,
     fused_rwm_chain,
     fused_rwm_chain_recorded,
@@ -13,5 +15,7 @@ __all__ = [
     "fused_mala_chain",
     "fused_mala_chain_recorded",
     "fused_pcn_chain",
+    "fused_pcn_chain_warm",
+    "fused_pcn_chain_warm_recorded",
     "fused_pcn_chain_recorded",
 ]

@@ -80,20 +80,21 @@ def _normal(key1, key2, shape):
     return z[:d]
 
 
-def _trace_potential(step_builder, potential_fn, example):
+def _trace_potential(step_builder, potential_fn, examples):
     """Trace the potential (or, for gradient-based kernels, its
     value-and-grad via ``jax.vjp``) to a jaxpr OUTSIDE the Pallas kernel, so
     every closed-over constant — including those hidden in a ``custom_vjp``
     backward (the Darcy adjoint's basis/observation matrices) — is hoisted
-    into explicit kernel operands (Pallas forbids captured constants)."""
+    into explicit kernel operands (Pallas forbids captured constants).
+    ``examples`` is the tuple of potential inputs (position[, carried aux])."""
     if getattr(step_builder, "needs_grad", False):
         def traced(x):
             phi, vjp = jax.vjp(potential_fn, x)
             (g,) = vjp(jnp.ones_like(phi))
             return phi, g
 
-        return jax.make_jaxpr(traced)(example)
-    return jax.make_jaxpr(potential_fn)(example)
+        return jax.make_jaxpr(traced)(*examples)
+    return jax.make_jaxpr(potential_fn)(*examples)
 
 
 def _pack2d(a):
@@ -105,23 +106,34 @@ def _pack2d(a):
     return a
 
 
-def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps, block_chains):
+def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps,
+               block_chains, aux_dim=None):
     """Shared driver. ``step_builder(pot, *params) -> (init, step)`` with
     ``init(pos_t) -> carry`` (carry[0] is the (d, block) position by
     convention) and ``step(carry, rand_n, rand_u) -> (carry, accepted)`` —
-    the generalized carry lets kernels cache extra state (MALA's gradient)."""
+    the generalized carry lets kernels cache extra state (MALA's gradient,
+    the warm-started CG solution). ``aux_dim``: if set, the potential takes
+    a second (aux_dim, block) argument (the carried aux) and returns
+    ``(phi, new_aux)``."""
     positions = jnp.asarray(positions, jnp.float32)
     n, d = positions.shape
     if n % block_chains:
         raise ValueError(
             f"n_chains {n} must be a multiple of block_chains {block_chains}"
         )
-    example = jax.ShapeDtypeStruct((d, block_chains), positions.dtype)
-    closed_pot = _trace_potential(step_builder, potential_fn, example)
+    examples = (jax.ShapeDtypeStruct((d, block_chains), positions.dtype),)
+    if aux_dim is not None:
+        examples += (
+            jax.ShapeDtypeStruct((aux_dim, block_chains), positions.dtype),
+        )
+    closed_pot = _trace_potential(step_builder, potential_fn, examples)
     pot_consts = [jnp.asarray(c) for c in closed_pot.consts]
+    n_in = len(examples)
 
-    def pot_conv(x, *cs):
-        out = jax.core.eval_jaxpr(closed_pot.jaxpr, list(cs), x)
+    def pot_conv(*args):  # (x[, aux], *consts)
+        out = jax.core.eval_jaxpr(
+            closed_pot.jaxpr, list(args[n_in:]), *args[:n_in]
+        )
         return out[0] if len(out) == 1 else tuple(out)
 
     extras = [jnp.asarray(p, jnp.float32) for p in params] + list(pot_consts)
@@ -143,7 +155,7 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps, blo
                 vals.append(er[:])
         param_vals = vals[:n_params]
         const_vals = vals[n_params:]
-        pot = lambda x: pot_conv(x, *const_vals)
+        pot = lambda *xs: pot_conv(*xs, *const_vals)
         step_init, step = step_builder(pot, *param_vals)
 
         block_seed = (seed_ref[0] + pl.program_id(0) * 7919).astype(jnp.uint32)
@@ -249,6 +261,40 @@ def _pcn_step_builder(pot, beta, mean, scale):
     return init, step
 
 
+def _make_pcn_warm_step_builder(aux_dim):
+    """pCN whose potential carries an aux block (the warm-started CG
+    solution): ``pot(U, x0) -> (phi, x)``. The aux follows the accept/reject
+    select, so proposal solves always start from the CURRENT state's
+    converged solution."""
+
+    def builder(pot, beta, mean, scale):
+        contraction = jnp.sqrt(1.0 - beta * beta)
+
+        def init(pos):
+            x0 = jnp.zeros((aux_dim, pos.shape[1]), pos.dtype)
+            phi0, x0 = pot(pos, x0)
+            return (pos, phi0, x0)
+
+        def step(carry, rand_n, rand_u):
+            pos, phi, x = carry
+            m = mean[:, None]
+            xi = scale[:, None] * rand_n(pos.shape, 0)
+            prop = m + contraction * (pos - m) + beta * xi
+            phi_prop, x_prop = pot(prop, x)
+            log_u = jnp.log(rand_u((1, pos.shape[1]), 2))[0]
+            accept = log_u < (phi - phi_prop)
+            acc2 = accept[None, :]
+            return (
+                jnp.where(acc2, prop, pos),
+                jnp.where(accept, phi_prop, phi),
+                jnp.where(acc2, x_prop, x),
+            ), acc2
+
+        return init, step
+
+    return builder
+
+
 def _mala_step_builder(pot_and_grad, step_size):
     """MALA on exp(−Φ): the driver pre-traces value-and-grad of the batched
     potential (``needs_grad`` flag → ``_trace_potential``), so ``pot_and_
@@ -292,7 +338,8 @@ _mala_step_builder.needs_grad = True
 
 
 def _run_fused_recorded(
-    step_builder, potential_fn, positions, params, seed, n_steps, thin, block_chains
+    step_builder, potential_fn, positions, params, seed, n_steps, thin,
+    block_chains, aux_dim=None
 ):
     """Like ``_run_fused`` but DMA-records the chain state every ``thin``
     steps from a VMEM scratch into an HBM sample buffer — the fused kernel
@@ -306,12 +353,19 @@ def _run_fused_recorded(
     if n_steps % thin:
         raise ValueError(f"n_steps {n_steps} must be a multiple of thin {thin}")
     n_rec = n_steps // thin
-    example = jax.ShapeDtypeStruct((d, block_chains), positions.dtype)
-    closed_pot = _trace_potential(step_builder, potential_fn, example)
+    examples = (jax.ShapeDtypeStruct((d, block_chains), positions.dtype),)
+    if aux_dim is not None:
+        examples += (
+            jax.ShapeDtypeStruct((aux_dim, block_chains), positions.dtype),
+        )
+    closed_pot = _trace_potential(step_builder, potential_fn, examples)
     pot_consts = [jnp.asarray(c) for c in closed_pot.consts]
+    n_in = len(examples)
 
-    def pot_conv(x, *cs):
-        out = jax.core.eval_jaxpr(closed_pot.jaxpr, list(cs), x)
+    def pot_conv(*args):
+        out = jax.core.eval_jaxpr(
+            closed_pot.jaxpr, list(args[n_in:]), *args[:n_in]
+        )
         return out[0] if len(out) == 1 else tuple(out)
 
     extras = [jnp.asarray(p, jnp.float32) for p in params] + list(pot_consts)
@@ -331,7 +385,7 @@ def _run_fused_recorded(
                 vals.append(er[:].reshape(s))
             else:
                 vals.append(er[:])
-        pot = lambda x: pot_conv(x, *vals[n_params:])
+        pot = lambda *xs: pot_conv(*xs, *vals[n_params:])
         step_init, step = step_builder(pot, *vals[:n_params])
 
         pid = pl.program_id(0)
@@ -419,6 +473,80 @@ def _run_fused_recorded(
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), positions, *packed)
     return final, acc[0], jnp.swapaxes(samples, 1, 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_steps", "aux_dim", "block_chains"),
+)
+def fused_pcn_chain_warm(
+    potential_fn,
+    positions,
+    prior_mean,
+    prior_scale,
+    beta,
+    seed,
+    n_steps=100,
+    aux_dim=None,
+    block_chains=256,
+):
+    """Warm-started fused pCN: ``potential_fn(U, x0) -> (phi, x)`` carries a
+    per-chain (aux_dim, block) solver state (e.g. the Darcy CG solution from
+    ``darcy.make_batched_misfit_warm``), so each proposal's solve starts from
+    the current state's converged solution — ~2-3× fewer CG iterations at
+    equal residual. Returns (final_positions, acceptance_rate_per_chain)."""
+    if aux_dim is None:
+        raise ValueError("fused_pcn_chain_warm requires aux_dim (solver rows)")
+    return _run_fused(
+        _make_pcn_warm_step_builder(aux_dim),
+        potential_fn,
+        positions,
+        [
+            jnp.float32(beta),
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_scale, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        block_chains,
+        aux_dim=aux_dim,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_steps", "thin", "aux_dim", "block_chains"),
+)
+def fused_pcn_chain_warm_recorded(
+    potential_fn,
+    positions,
+    prior_mean,
+    prior_scale,
+    beta,
+    seed,
+    n_steps=100,
+    thin=1,
+    aux_dim=None,
+    block_chains=256,
+):
+    """Warm-started fused pCN with in-kernel trajectory recording."""
+    if aux_dim is None:
+        raise ValueError("fused_pcn_chain_warm_recorded requires aux_dim")
+    return _run_fused_recorded(
+        _make_pcn_warm_step_builder(aux_dim),
+        potential_fn,
+        positions,
+        [
+            jnp.float32(beta),
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_scale, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        thin,
+        block_chains,
+        aux_dim=aux_dim,
+    )
 
 
 @functools.partial(

@@ -247,8 +247,14 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples):
     if problem.kernel == "pcn":
         beta = kp.get("beta", 0.2)
         run_kw = dict(prior_mean=pm, prior_scale=ps, beta=beta)
-        chain, chain_rec = ops.fused_pcn_chain, ops.fused_pcn_chain_recorded
-        phi_full = phi_b
+        if kp.get("warm") and problem.batched_warm_potential is not None:
+            phi_full, aux_dim = problem.batched_warm_potential
+            run_kw["aux_dim"] = aux_dim
+            chain = ops.fused_pcn_chain_warm
+            chain_rec = ops.fused_pcn_chain_warm_recorded
+        else:
+            chain, chain_rec = ops.fused_pcn_chain, ops.fused_pcn_chain_recorded
+            phi_full = phi_b
     else:
         pm_j, ps_j = jnp.asarray(pm), jnp.asarray(ps)
 

@@ -299,3 +299,74 @@ def test_fused_mala_darcy_adjoint_smoke():
     assert np.isfinite(np.asarray(pos2)).all()
     assert not np.allclose(np.asarray(pos2), np.asarray(pos))
     assert 0.0 < float(np.asarray(acc).mean()) <= 1.0
+
+
+class TestWarmStartPCN:
+    """Warm-started fused pCN: carried CG solution (ROADMAP P1)."""
+
+    def _darcy(self, warm_iters=12):
+        from ip_mcmc_tpu import distributions as dist
+        from ip_mcmc_tpu.models import darcy
+
+        fwd, aux = darcy.make_darcy_forward(n_grid=8, n_modes_per_dim=4,
+                                            alpha=2.0, field_scale=10.0)
+        K = 16
+        noise = dist.DiagGaussian(mean=jnp.zeros(16), scale=0.002 * jnp.ones(16))
+        u_true = jax.random.normal(jax.random.key(300), (K,))
+        y = fwd(u_true) + noise.sample(jax.random.key(301))
+        cold = darcy.make_batched_misfit(aux, y, 0.002, cg_iters=40)
+        warm, aux_dim = darcy.make_batched_misfit_warm(aux, y, 0.002,
+                                                       cg_iters=warm_iters)
+        return cold, warm, aux_dim, K
+
+    def test_warm_matches_cold_acceptance(self):
+        """Same seed ⇒ same random streams; the warm kernel's acceptance
+        rate must match the cold one (solver error ≪ noise)."""
+        from ip_mcmc_tpu.ops import fused_pcn_chain, fused_pcn_chain_warm
+
+        cold, warm, aux_dim, K = self._darcy()
+        pos = jax.random.normal(jax.random.key(1), (64, K)) * 0.3
+        _, acc_c = fused_pcn_chain(cold, pos, prior_mean=np.zeros(K),
+                                   prior_scale=np.ones(K), beta=0.1, seed=5,
+                                   n_steps=30, block_chains=64)
+        _, acc_w = fused_pcn_chain_warm(warm, pos, prior_mean=np.zeros(K),
+                                        prior_scale=np.ones(K), beta=0.1,
+                                        seed=5, n_steps=30, aux_dim=aux_dim,
+                                        block_chains=64)
+        np.testing.assert_allclose(
+            float(np.asarray(acc_c).mean()), float(np.asarray(acc_w).mean()),
+            atol=0.05,
+        )
+
+    def test_warm_recorded_matches_endpoint(self):
+        from ip_mcmc_tpu.ops import fused_pcn_chain_warm_recorded
+
+        _, warm, aux_dim, K = self._darcy()
+        pos = jax.random.normal(jax.random.key(2), (64, K)) * 0.3
+        final, acc, s = fused_pcn_chain_warm_recorded(
+            warm, pos, prior_mean=np.zeros(K), prior_scale=np.ones(K),
+            beta=0.1, seed=6, n_steps=12, thin=3, aux_dim=aux_dim,
+            block_chains=64,
+        )
+        assert s.shape == (4, 64, K)
+        np.testing.assert_allclose(np.asarray(s[-1]), np.asarray(final))
+
+    def test_aux_dim_required(self):
+        from ip_mcmc_tpu.ops import fused_pcn_chain_warm
+
+        _, warm, _, K = self._darcy()
+        pos = jnp.zeros((64, K), jnp.float32)
+        with pytest.raises(ValueError):
+            fused_pcn_chain_warm(warm, pos, prior_mean=np.zeros(K),
+                                 prior_scale=np.ones(K), beta=0.1, seed=0,
+                                 n_steps=2, block_chains=64)
+
+    def test_runner_warm_config(self):
+        from ip_mcmc_tpu import configs, runner
+
+        p = configs.build("darcy_pcn_warm")
+        p.n_chains, p.n_samples, p.burn_in = 128, 20, 10
+        p.kernel_params["block_chains"] = 128
+        m = runner.run_problem(p)
+        assert m["kernel"] == "pcn(fused)"
+        assert 0.0 < m["accept_rate"] < 1.0
