@@ -188,6 +188,20 @@ def ode_hmc() -> Problem:
 
 
 @register
+def ode_chees() -> Problem:
+    """ChEES-HMC on the ODE forward model: cross-chain trajectory-length
+    adaptation — the ensemble alternative to NUTS (vmaps without masked
+    tree building)."""
+    p = _lv_problem(
+        "chees",
+        {"step_size": 0.05, "trajectory_length": 0.5, "map_init": 300},
+        512,
+    )
+    p.burn_in = 300
+    return p
+
+
+@register
 def ode_nuts() -> Problem:
     """BASELINE config 3b: NUTS on the ODE forward model."""
     p = _lv_problem(

@@ -1,4 +1,25 @@
-from ip_mcmc_tpu.kernels import da_pcn, elliptical, hmc, mala, nuts, pcn, rwm, tempering
+from ip_mcmc_tpu.kernels import (
+    chees_hmc,
+    da_pcn,
+    elliptical,
+    hmc,
+    mala,
+    nuts,
+    pcn,
+    rwm,
+    tempering,
+)
 from ip_mcmc_tpu.kernels.base import MHInfo
 
-__all__ = ["rwm", "pcn", "da_pcn", "mala", "hmc", "nuts", "elliptical", "tempering", "MHInfo"]
+__all__ = [
+    "rwm",
+    "pcn",
+    "da_pcn",
+    "mala",
+    "hmc",
+    "nuts",
+    "chees_hmc",
+    "elliptical",
+    "tempering",
+    "MHInfo",
+]

@@ -92,9 +92,12 @@ def batch_step(log_density_fn, state, key, step_size, trajectory_length,
         inv_mass = jnp.ones((d,), state.positions.dtype)
     sqrt_mass = 1.0 / jnp.sqrt(inv_mass)
 
-    eps = step_size
     traj = jitter_u * trajectory_length
-    n_leap = jnp.maximum(jnp.ceil(traj / eps).astype(jnp.int32), 1)
+    n_leap = jnp.maximum(jnp.ceil(traj / step_size).astype(jnp.int32), 1)
+    # integrate EXACTLY time τ·u with n_leap equal steps of size ≤ ε: the
+    # dynamics is then continuous in τ (no step-count quantization), which
+    # is what makes the ChEES gradient meaningful
+    eps = traj / n_leap.astype(traj.dtype)
 
     p0 = sqrt_mass[None, :] * jax.random.normal(
         key_mom, (n, d), state.positions.dtype
@@ -137,13 +140,20 @@ def batch_step(log_density_fn, state, key, step_size, trajectory_length,
 
 
 def chees_gradient(state, info, jitter_u):
-    """Monte-Carlo ∂ChEES/∂τ over the chain axis (pmean-compatible)."""
-    x, xp = state.positions, info.proposal
+    """Monte-Carlo ∂ChEES/∂τ over the chain axis (pmean-compatible).
+
+    Diverged trajectories (NaN/inf proposals — rejected by the MH test with
+    probability 1) are masked out of the estimator: their accept_prob is 0
+    but 0·NaN would still be NaN, and one bad chain would poison x̄'."""
+    x, xp, v = state.positions, info.proposal, info.final_velocity
+    ok = jnp.all(jnp.isfinite(xp) & jnp.isfinite(v), axis=1)
+    xp = jnp.where(ok[:, None], xp, x)
+    v = jnp.where(ok[:, None], v, 0.0)
+    w = jnp.where(ok, info.accept_prob, 0.0)
     xbar = jnp.mean(x, axis=0)
     xpbar = jnp.mean(xp, axis=0)
     dsq = jnp.sum((xp - xpbar) ** 2, axis=1) - jnp.sum((x - xbar) ** 2, axis=1)
-    proj = jnp.sum((xp - xpbar) * info.final_velocity, axis=1)
-    w = info.accept_prob
+    proj = jnp.sum((xp - xpbar) * v, axis=1)
     num = jnp.mean(w * dsq * proj) * jitter_u
     return num / jnp.maximum(jnp.mean(w), 1e-6)
 
@@ -197,10 +207,13 @@ def warmup_chees(
         st, das, adam, inv_mass = carry
         u = halton(step_idx)
         key = jax.random.fold_in(base_key, step_idx)
+        tau = jnp.exp(adam.log_value)
+        # ε is capped at τ: beyond it the (≥1-step) dynamics no longer
+        # depends on ε and dual averaging would run away on easy targets
         st, info = batch_step(
             log_density_fn, st, key,
-            step_size=da.current(das),
-            trajectory_length=jnp.exp(adam.log_value),
+            step_size=jnp.minimum(da.current(das), tau),
+            trajectory_length=tau,
             jitter_u=u, inv_mass=inv_mass,
         )
         das = da.update(das, jnp.mean(info.accept_prob), target=target_accept)
@@ -218,7 +231,8 @@ def warmup_chees(
     (state, das, adam, inv_mass), _ = jax.lax.scan(
         body, carry0, jnp.arange(num_steps)
     )
-    return state, da.final(das), jnp.exp(adam.log_value), inv_mass
+    tau = jnp.exp(adam.log_value)
+    return state, jnp.minimum(da.final(das), tau), tau, inv_mass
 
 
 @partial(

@@ -23,7 +23,16 @@ from ip_mcmc_tpu.adapt import (
     warmup_pcn,
     warmup_rwm,
 )
-from ip_mcmc_tpu.kernels import da_pcn, elliptical, hmc, mala, nuts, pcn, rwm
+from ip_mcmc_tpu.kernels import (
+    chees_hmc,
+    da_pcn,
+    elliptical,
+    hmc,
+    mala,
+    nuts,
+    pcn,
+    rwm,
+)
 
 
 def _build_kernel_and_state(problem, key, n_chains):
@@ -143,6 +152,9 @@ def run_problem(
     key = jax.random.key(0) if key is None else key
     n_chains = n_chains or problem.n_chains
     n_samples = n_samples or problem.n_samples
+
+    if problem.kernel == "chees":
+        return _run_chees(problem, key, n_chains, n_samples, metrics_log)
 
     if problem.kernel == "smc":
         if mesh is not None:
@@ -301,6 +313,66 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples):
         "accept_rate": float(np.asarray(acc).mean()),
         "posterior_mean": np.asarray(summ["mean"]).tolist(),
     }
+
+
+def _run_chees(problem, key, n_chains, n_samples, metrics_log=None):
+    """ChEES-HMC path: batch-level kernel with its own warmup + scan driver
+    (trajectory length is shared across chains, so the kernel updates the
+    whole (n, d) block — see kernels/chees_hmc.py)."""
+    kp = dict(problem.kernel_params)
+    logpi = problem.log_density_fn
+    key_init, key_warm, key_run = jax.random.split(key, 3)
+    positions = problem.init_positions(key_init, n_chains)
+    if kp.pop("map_init", 0):
+        from ip_mcmc_tpu.adapt import warmup as _warmup
+
+        positions = _warmup.map_localize(logpi, positions, num_steps=300)
+
+    t0 = time.perf_counter()
+    state, eps, traj, inv_mass = chees_hmc.warmup_chees(
+        logpi, positions, key_warm,
+        num_steps=problem.burn_in or 400,
+        initial_step_size=kp.get("step_size", 0.1),
+        initial_trajectory=kp.get("trajectory_length", 1.0),
+    )
+    jax.block_until_ready(state.positions)
+    warm_s = time.perf_counter() - t0
+
+    def _sample():
+        return chees_hmc.sample_chees(
+            logpi, state, key_run, eps, traj, inv_mass,
+            n_samples=n_samples, burn_in=0, thin=problem.thin,
+        )
+
+    t0 = time.perf_counter()
+    out = _sample()
+    jax.block_until_ready(out[1])
+    compile_and_run_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    final_state, samples, infos = _sample()
+    jax.block_until_ready(samples)
+    run_s = time.perf_counter() - t0
+
+    summ = diagnostics.summarize(samples)
+    metrics = {
+        "config": problem.name,
+        "kernel": "chees",
+        "n_chains": int(n_chains),
+        "n_samples": int(n_samples),
+        "dim": int(problem.dim),
+        "warmup_s": warm_s,
+        "compile_s": max(compile_and_run_s - run_s, 0.0),
+        "run_s": run_s,
+        "steps_per_s": n_samples * problem.thin * n_chains / run_s,
+        "min_ess": float(summ["min_ess"]),
+        "ess_per_s": float(summ["min_ess"]) / run_s,
+        "max_rhat": float(summ["max_rhat"]),
+        "accept_rate": float(np.asarray(infos.accept_prob).mean()),
+        "step_size": float(eps),
+        "trajectory_length": float(traj),
+        "posterior_mean": np.asarray(summ["mean"]).tolist(),
+    }
+    return metrics
 
 
 def _run_smc(problem, key, n_particles):
