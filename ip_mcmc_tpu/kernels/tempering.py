@@ -37,6 +37,8 @@ class PTInfo:
     accept_rate: jnp.ndarray  # mean pCN acceptance over the ladder
     swap_rate: jnp.ndarray  # fraction of attempted swaps accepted
     cold_accepted: jnp.ndarray  # cold-chain pCN acceptance (bool)
+    pair_swap_prob: jnp.ndarray  # (T,) min(1, e^{logswap}) at lead i, 0 if inactive
+    pair_active: jnp.ndarray  # (T,) float mask: pair (i, i+1) attempted
 
 
 def geometric_ladder(n_temps, beta_min=0.05):
@@ -111,10 +113,13 @@ def build_kernel(potential_fn, prior, betas, pcn_step=0.25):
         )
 
         n_active = jnp.maximum(jnp.sum(active.astype(jnp.float32)), 1.0)
+        active_f = active.astype(jnp.float32)
         info = PTInfo(
             accept_rate=jnp.mean(accepted.astype(jnp.float32)),
             swap_rate=jnp.sum(swap_lead.astype(jnp.float32)) / n_active,
             cold_accepted=accepted[0],
+            pair_swap_prob=jnp.exp(jnp.minimum(log_swap, 0.0)) * active_f,
+            pair_active=active_f,
         )
         new_state = PTState(
             positions=new_positions,
@@ -124,6 +129,70 @@ def build_kernel(potential_fn, prior, betas, pcn_step=0.25):
         return new_state, info
 
     return kernel
+
+
+def betas_from_gaps(rho):
+    """Ladder parameterization: β_1 = 1, β_{t+1} = β_t·exp(−e^{ρ_t}).
+    Any real gap vector ρ (T−1,) gives a strictly decreasing ladder —
+    the unconstrained coordinates the adapter does Robbins–Monro in."""
+    return jnp.concatenate(
+        [jnp.ones((1,), rho.dtype), jnp.exp(-jnp.cumsum(jnp.exp(rho)))]
+    )
+
+
+def adapt_ladder(
+    potential_fn,
+    prior,
+    positions,
+    base_key,
+    n_temps=8,
+    num_steps=300,
+    target_swap=0.4,
+    pcn_step=0.25,
+    beta_min_init=0.05,
+    gain=0.6,
+):
+    """Swap-rate-targeted ladder adaptation (ROADMAP P2; Miasojedow–
+    Moulines–Vihola 2013 style): stochastic approximation on the log-gap
+    coordinates ρ so every adjacent pair's swap acceptance hits
+    ``target_swap`` — equalized swap rates maximize the round-trip rate of
+    states between the cold and hot ends.
+
+    Signal: the chain-averaged per-pair swap PROBABILITY min(1, e^{Δβ·ΔΦ})
+    (Rao-Blackwellized — uses the probability, not the binary outcome).
+    Update: ρ_t += γ_k (swap_prob_t − target); γ_k = gain/(1+k)^0.6.
+
+    ``positions``: (n_chains, d) initial cold positions (replicated across
+    the ladder). Returns (pt_states (chains-batched PTState), betas (T,)).
+    """
+    positions = jnp.asarray(positions)
+    n_chains = positions.shape[0]
+    # initialize gaps from the geometric ladder
+    geo = geometric_ladder(n_temps, beta_min=beta_min_init)
+    rho0 = jnp.log(-jnp.log(geo[1:] / geo[:-1]))
+
+    states = jax.vmap(lambda p: init(p, potential_fn, n_temps))(positions)
+
+    def body(carry, step_idx):
+        sts, rho = carry
+        betas = betas_from_gaps(rho)
+        kernel = build_kernel(potential_fn, prior, betas, pcn_step=pcn_step)
+        keys = jax.random.split(
+            jax.random.fold_in(base_key, step_idx), n_chains
+        )
+        sts, infos = jax.vmap(kernel)(keys, sts)
+        # chain-mean per-pair swap probability, normalized by activity
+        prob = jnp.mean(infos.pair_swap_prob, axis=0)
+        act = jnp.maximum(jnp.mean(infos.pair_active, axis=0), 1e-6)
+        pair_rate = (prob / act)[: n_temps - 1]
+        gamma = gain / (1.0 + step_idx.astype(rho.dtype)) ** 0.6
+        rho = rho + gamma * (pair_rate - target_swap)
+        return (sts, rho), pair_rate
+
+    (states, rho), rates = jax.lax.scan(
+        body, (states, rho0), jnp.arange(num_steps)
+    )
+    return states, betas_from_gaps(rho)
 
 
 def cold_chain(state_or_samples):

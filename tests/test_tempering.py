@@ -79,3 +79,43 @@ def test_pt_mixes_bimodal_where_pcn_fails():
     assert float(np.asarray(infos.swap_rate).mean()) > 0.1
     # symmetric mixture: |mean| of cold chain near SEP in magnitude-average
     np.testing.assert_allclose(np.abs(cold).mean(), SEP, atol=0.4)
+
+
+class TestLadderAdaptation:
+    def test_betas_from_gaps_monotone(self):
+        rho = jnp.array([-1.0, 0.0, 1.0])
+        b = tempering.betas_from_gaps(rho)
+        assert b.shape == (4,)
+        np.testing.assert_allclose(float(b[0]), 1.0)
+        assert np.all(np.diff(np.asarray(b)) < 0) and float(b[-1]) > 0
+
+    def test_adapted_ladder_equalizes_swap_rates(self):
+        """After adaptation, per-pair swap rates concentrate near the
+        target (the equalized-rate optimum for round trips)."""
+        prior, phi = _bimodal_setup()
+        positions = prior.sample(jax.random.key(0), (256,))
+        target = 0.4
+        states, betas = tempering.adapt_ladder(
+            phi, prior, positions, jax.random.key(1),
+            n_temps=6, num_steps=400, target_swap=target, pcn_step=0.4,
+        )
+        assert betas.shape == (6,)
+        assert np.all(np.diff(np.asarray(betas)) < 0)
+        # measure realized swap probabilities with the FROZEN ladder
+        kernel = tempering.build_kernel(phi, prior, betas, pcn_step=0.4)
+        n = 256
+
+        def body(sts, i):
+            keys = jax.random.split(jax.random.fold_in(jax.random.key(2), i), n)
+            sts, infos = jax.vmap(kernel)(keys, sts)
+            prob = jnp.mean(infos.pair_swap_prob, axis=0)
+            act = jnp.maximum(jnp.mean(infos.pair_active, axis=0), 1e-6)
+            return sts, prob / act
+
+        _, rates = jax.lax.scan(body, states, jnp.arange(200))
+        pair_rates = np.asarray(rates).mean(axis=0)[:5]
+        # every adjacent pair within a loose band around the target
+        assert np.all(pair_rates > target - 0.2), pair_rates
+        assert np.all(pair_rates < target + 0.2), pair_rates
+        # and roughly equalized: spread far below an unadapted geometric ladder's
+        assert pair_rates.max() - pair_rates.min() < 0.25, pair_rates
