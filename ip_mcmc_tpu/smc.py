@@ -84,8 +84,9 @@ def find_next_beta(beta, potentials, ess_target_frac, n_bisect=40):
     return jnp.maximum(delta, 1e-6 * (1.0 - beta) + 1e-12)
 
 
-def systematic_resample(key, log_weights):
-    """Systematic resampling: global ancestor indices from one uniform.
+def systematic_resample(key, log_weights, n_out=None):
+    """Systematic resampling: ``n_out`` global ancestor indices from one
+    uniform (default n_out = n).
 
     Deterministic given (key, weights) — the distributed-friendly scheme
     (SURVEY.md §7.3 item 1): the weight vector is all-gathered by XLA under
@@ -93,10 +94,11 @@ def systematic_resample(key, log_weights):
     gather lowers to a collective.
     """
     n = log_weights.shape[0]
+    n_out = n if n_out is None else n_out
     w = jax.nn.softmax(log_weights)
     cum = jnp.cumsum(w)
-    u0 = jax.random.uniform(key, (), minval=0.0, maxval=1.0 / n)
-    positions = u0 + jnp.arange(n, dtype=w.dtype) / n
+    u0 = jax.random.uniform(key, (), minval=0.0, maxval=1.0 / n_out)
+    positions = u0 + jnp.arange(n_out, dtype=w.dtype) / n_out
     ancestors = jnp.searchsorted(cum, positions)
     return jnp.clip(ancestors, 0, n - 1)
 
@@ -108,6 +110,7 @@ def systematic_resample(key, log_weights):
         "n_particles",
         "mutation_steps",
         "max_stages",
+        "waste_free",
     ),
 )
 def run(
@@ -120,12 +123,25 @@ def run(
     mutation_steps=5,
     pcn_step=0.3,
     max_stages=50,
+    waste_free=False,
 ):
     """Run adaptive tempered SMC. Returns (SMCState, SMCInfo).
 
     ``potential_fn``: untempered data misfit Φ(u) (single particle).
     ``prior``: distribution with sample/sample_centered/mean (pCN-compatible).
+
+    ``waste_free=True`` (Dau–Chopin 2022): resample only M = N/(k+1)
+    ancestors (k = mutation_steps) and keep ALL k+1 states of each mutation
+    chain as the next N-particle cloud — every forward-model evaluation
+    becomes a particle instead of only the chain endpoints. Same collective
+    structure (the resample just emits fewer ancestors); requires
+    n_particles % (mutation_steps + 1) == 0.
     """
+    if waste_free and n_particles % (mutation_steps + 1):
+        raise ValueError(
+            f"waste-free SMC needs n_particles ({n_particles}) divisible by "
+            f"mutation_steps+1 ({mutation_steps + 1})"
+        )
     key_init, key_loop = jax.random.split(key)
     particles = prior.sample(key_init, (n_particles,))
     potentials = jax.vmap(potential_fn)(particles)
@@ -159,30 +175,43 @@ def run(
         )
         ess_val = effective_sample_size(log_w)
 
-        ancestors = systematic_resample(key_res, log_w)
-        particles = state.particles[ancestors]
-        potentials = state.potentials[ancestors]
-
         # mutation: pCN targeting exp(-new_beta Φ) dμ0
         tempered = lambda u: new_beta * potential_fn(u)
         kernel = pcn.build_kernel(tempered, prior, beta=pcn_step)
+        n_mut = n_particles // (mutation_steps + 1) if waste_free else n_particles
+
+        ancestors = systematic_resample(key_res, log_w, n_out=n_mut)
+        particles0 = state.particles[ancestors]
+        potentials0 = state.potentials[ancestors]
         mut_state = pcn.PCNState(
-            position=particles, potential=new_beta * potentials
+            position=particles0, potential=new_beta * potentials0
         )
 
         def mut_body(carry, step_idx):
             ms, _ = carry
-            keys = chain_keys(key_mut, step_idx, n_particles)
+            keys = chain_keys(key_mut, step_idx, n_mut)
             ms, minfo = jax.vmap(kernel)(keys, ms)
-            return (ms, jnp.mean(minfo.accept_prob)), None
+            out = (ms.position, ms.potential) if waste_free else None
+            return (ms, jnp.mean(minfo.accept_prob)), out
 
-        (mut_state, acc_rate), _ = jax.lax.scan(
+        (mut_state, acc_rate), recorded = jax.lax.scan(
             mut_body,
-            (mut_state, jnp.zeros((), potentials.dtype)),
+            (mut_state, jnp.zeros((), potentials0.dtype)),
             jnp.arange(mutation_steps),
         )
-        particles = mut_state.position
-        potentials = mut_state.potential / jnp.maximum(new_beta, 1e-12)
+        if waste_free:
+            # the next cloud = every state of every mutation chain (starts
+            # included): (k+1, M, d) -> (N, d)
+            pos_seq, pot_seq = recorded
+            particles = jnp.concatenate(
+                [particles0[None], pos_seq], axis=0
+            ).reshape(n_particles, -1)
+            potentials = jnp.concatenate(
+                [(new_beta * potentials0)[None], pot_seq], axis=0
+            ).reshape(n_particles) / jnp.maximum(new_beta, 1e-12)
+        else:
+            particles = mut_state.position
+            potentials = mut_state.potential / jnp.maximum(new_beta, 1e-12)
 
         info = SMCInfo(
             betas=info.betas.at[state.stage].set(new_beta),

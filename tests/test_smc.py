@@ -132,3 +132,32 @@ class TestSMCEndToEnd:
             np.asarray(s1.particles), np.asarray(s2.particles), atol=1e-6
         )
         np.testing.assert_allclose(float(s1.log_z), float(s2.log_z), atol=1e-4)
+
+
+class TestWasteFreeSMC:
+    def test_posterior_and_evidence_match_closed_form(self):
+        """Waste-free SMC (all mutation states kept as particles) targets
+        the same posterior/evidence as standard SMC."""
+        phi, prior, mean, cov, log_z = TestSMCEndToEnd._problem(TestSMCEndToEnd)
+        state, info = smc.run(
+            phi, prior, jax.random.key(0), n_particles=4096,
+            mutation_steps=7, pcn_step=0.5, waste_free=True,
+        )
+        assert float(state.beta) == 1.0
+        p = np.asarray(state.particles)
+        np.testing.assert_allclose(p.mean(axis=0), mean, atol=0.05)
+        np.testing.assert_allclose(np.cov(p.T), cov, atol=0.06)
+        np.testing.assert_allclose(float(state.log_z), log_z, atol=0.12)
+        # potentials cache stays consistent with positions through the
+        # chain-unrolled cloud
+        np.testing.assert_allclose(
+            np.asarray(state.potentials),
+            np.asarray(jax.vmap(phi)(state.particles)),
+            rtol=2e-3, atol=2e-3,
+        )
+
+    def test_divisibility_enforced(self):
+        phi, prior, *_ = TestSMCEndToEnd._problem(TestSMCEndToEnd)
+        with pytest.raises(ValueError):
+            smc.run(phi, prior, jax.random.key(0), n_particles=1000,
+                    mutation_steps=5, waste_free=True)  # 1000 % 6 != 0
