@@ -171,6 +171,7 @@ def make_darcy_forward(
     log_a_mean: float = 0.0,
     method: str = "cg",
     cg_iters: int = 48,
+    mesh=None,
 ):
     """Build forward(u): KL coefficients (K,) → pressure at observation cells.
 
@@ -193,8 +194,23 @@ def make_darcy_forward(
     else:
         f = jnp.asarray(source, dtype=jnp.float32).reshape(-1)
 
-    if method not in ("cg", "dense"):
-        raise ValueError(f"method must be 'cg' or 'dense', got {method!r}")
+    if method not in ("cg", "dense", "sharded"):
+        raise ValueError(
+            f"method must be 'cg', 'dense' or 'sharded', got {method!r}"
+        )
+    if method == "sharded":
+        # grid row-sharded over the 'model' mesh axis (SURVEY.md §5.7):
+        # ppermute halo exchange + psum CG reductions; for single solves
+        # that outgrow one chip. Derivative-free kernels only in v1.
+        from ip_mcmc_tpu.parallel import grid_shard
+
+        if mesh is None:
+            mesh = grid_shard.make_model_mesh()
+        if n_grid % mesh.devices.size:
+            raise ValueError(
+                f"n_grid {n_grid} must divide over the {mesh.devices.size}-"
+                "device 'model' axis (row-block decomposition)"
+            )
 
     def forward(u):
         log_a = log_a_mean + u @ scaled_basis  # (n²,) — MXU matmul
@@ -203,6 +219,10 @@ def make_darcy_forward(
             # matrix-free stencil CG: no dense assembly, no scatters —
             # compiles ~100x faster on TPU and scales to large grids
             p = solve_cg(a, f, n_grid, n_iters=cg_iters)
+        elif method == "sharded":
+            from ip_mcmc_tpu.parallel import grid_shard
+
+            p = grid_shard.sharded_solve_cg(a, f, n_grid, mesh, n_iters=cg_iters)
         else:
             A = assemble_operator(a, indices, n_grid)
             L = jnp.linalg.cholesky(A)

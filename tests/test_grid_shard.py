@@ -53,3 +53,28 @@ def test_sharded_cg_matches_dense_solve(nd):
     mesh = grid_shard.make_model_mesh(n_devices=nd)
     p = grid_shard.sharded_solve_cg(a, f, n, mesh, n_iters=200)
     np.testing.assert_allclose(np.asarray(p), expected, rtol=5e-3, atol=1e-5)
+
+
+class TestShardedForwardOption:
+    def test_make_darcy_forward_sharded_matches_cg(self):
+        """make_darcy_forward(method='sharded') == method='cg' on the same
+        coefficients (8-device row decomposition vs single-device stencil)."""
+        from ip_mcmc_tpu.models import darcy
+
+        fwd_cg, _ = darcy.make_darcy_forward(
+            n_grid=16, n_modes_per_dim=4, cg_iters=100
+        )
+        fwd_sh, _ = darcy.make_darcy_forward(
+            n_grid=16, n_modes_per_dim=4, cg_iters=100, method="sharded"
+        )
+        u = jax.random.normal(jax.random.key(3), (16,)) * 0.5
+        np.testing.assert_allclose(
+            np.asarray(fwd_sh(u)), np.asarray(fwd_cg(u)), rtol=2e-4, atol=1e-6
+        )
+
+    def test_indivisible_grid_raises(self):
+        from ip_mcmc_tpu.models import darcy
+
+        with pytest.raises(ValueError):
+            darcy.make_darcy_forward(n_grid=10, n_modes_per_dim=4,
+                                     method="sharded")
