@@ -113,14 +113,56 @@ def _operator_diagonal(a, n: int):
     return d
 
 
-def solve_cg(a, f, n: int, n_iters: int = 48):
-    """Jacobi-preconditioned CG solve of A(a) p = f, matrix-free, fixed
-    iteration count (static shapes), wrapped in ``lax.custom_linear_solve``
-    so gradients use the IMPLICIT adjoint solve (same CG, symmetric) rather
+def dst_basis(n: int):
+    """Orthonormal eigenbasis of the 1-D constant-coefficient operator of
+    this discretization: φ_k(j) = sin(πk(j+½)/n), k = 1..n — the HALF-CELL
+    Dirichlet rows (t_b = 2a/h²) are exactly the ghost reflection
+    p_{-1} = −p_0, whose eigenvectors are these shifted sines with
+    eigenvalues a·h⁻²·(2 − 2cos(πk/n)). Returns (S (n, n) orthonormal rows,
+    eig1d (n,) eigenvalues in units of a·n²)."""
+    j = np.arange(n) + 0.5
+    k = np.arange(1, n + 1)[:, None]
+    S = np.sin(np.pi * k * j[None, :] / n)
+    S *= np.sqrt(2.0 / n)
+    S[-1] *= np.sqrt(0.5)  # k = n row has half the norm
+    eig = 2.0 - 2.0 * np.cos(np.pi * k[:, 0] / n)
+    return jnp.asarray(S, jnp.float32), jnp.asarray(eig, jnp.float32)
+
+
+def make_dst_preconditioner(a, n: int):
+    """Fast-Poisson preconditioner M = A(ā), ā = geometric mean of the
+    coefficient field: M⁻¹r = Sᵀ[(S r Sᵀ) / λ]S — two (n, n) MXU matmuls
+    per application, and the eigenvalue table λ_ij = ā n²(e_i + e_j). The
+    scalable choice for large grids where Jacobi-PCG iteration counts grow
+    with n (ROADMAP P1)."""
+    S, e = dst_basis(n)
+    a_bar = jnp.exp(jnp.mean(jnp.log(a)))
+    lam = a_bar * float(n * n) * (e[:, None] + e[None, :])
+
+    def inv_m(r):  # (n, n) -> (n, n)
+        return S.T @ ((S @ r @ S.T) / lam) @ S
+
+    return inv_m
+
+
+def solve_cg(a, f, n: int, n_iters: int = 48, precond: str = "jacobi"):
+    """Preconditioned CG solve of A(a) p = f, matrix-free, fixed iteration
+    count (static shapes), wrapped in ``lax.custom_linear_solve`` so
+    gradients use the IMPLICIT adjoint solve (same CG, symmetric) rather
     than differentiating through the iterations (SURVEY.md §7.3 item 3).
+
+    ``precond``: "jacobi" (diagonal — cheapest per iteration) or "dst"
+    (fast-Poisson via the sine eigenbasis — iteration count nearly
+    grid-independent; the right choice at 64²+).
     """
     f2 = f.reshape(n, n)
-    inv_diag = 1.0 / _operator_diagonal(a, n)
+    if precond == "dst":
+        inv_m = make_dst_preconditioner(a, n)
+    elif precond == "jacobi":
+        inv_diag = 1.0 / _operator_diagonal(a, n)
+        inv_m = lambda r: inv_diag * r
+    else:
+        raise ValueError(f"precond must be 'jacobi' or 'dst', got {precond!r}")
 
     def matvec(p):
         return apply_operator(a, p, n)
@@ -128,7 +170,7 @@ def solve_cg(a, f, n: int, n_iters: int = 48):
     def cg(mv, b):
         x = jnp.zeros_like(b)
         r = b
-        z = inv_diag * r
+        z = inv_m(r)
         p = z
         rz = jnp.sum(r * z)
 
@@ -141,7 +183,7 @@ def solve_cg(a, f, n: int, n_iters: int = 48):
             alpha = jnp.where(denom > 0.0, rz / jnp.where(denom > 0.0, denom, 1.0), 0.0)
             x = x + alpha * p
             r = r - alpha * Ap
-            z = inv_diag * r
+            z = inv_m(r)
             rz_new = jnp.sum(r * z)
             beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz > 0.0, rz, 1.0), 0.0)
             p = z + beta * p

@@ -355,3 +355,50 @@ class TestDarcyAdjoint:
             e = jnp.zeros_like(U).at[i, c].set(1e-2)
             fd = (phi_b(U + e) - phi_b(U - e))[c] / 2e-2
             np.testing.assert_allclose(float(g[i, c]), float(fd), rtol=3e-2, atol=1e-3)
+
+
+class TestDSTPreconditioner:
+    def test_basis_orthonormal(self):
+        S, e = darcy.dst_basis(32)
+        np.testing.assert_allclose(np.asarray(S @ S.T), np.eye(32), atol=1e-5)
+        assert np.all(np.diff(np.asarray(e)) > 0)
+
+    def test_exact_inverse_for_constant_field(self):
+        """For a ≡ const the DST 'preconditioner' IS the exact inverse."""
+        n = 16
+        a = 2.7 * jnp.ones((n, n))
+        inv_m = darcy.make_dst_preconditioner(a, n)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((n, n)),
+                        jnp.float32)
+        Ax = darcy.apply_operator(a, x, n)
+        np.testing.assert_allclose(np.asarray(inv_m(Ax)), np.asarray(x),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_dst_beats_jacobi_on_large_grid(self):
+        """n=64, smooth heterogeneous field: DST-PCG residual after 16
+        iterations is orders of magnitude below Jacobi's."""
+        n = 64
+        rng = np.random.default_rng(1)
+        modes = rng.standard_normal((4, 4))
+        x1 = (np.arange(n) + 0.5) / n
+        la = sum(
+            0.4 * modes[i, j] * np.sin(np.pi*(i+1)*x1)[:, None]
+            * np.sin(np.pi*(j+1)*x1)[None, :]
+            for i in range(4) for j in range(4)
+        )
+        a = jnp.asarray(np.exp(la), jnp.float32)
+        f = jnp.ones(n * n, jnp.float32)
+
+        def resid(x):
+            r = f.reshape(n, n) - darcy.apply_operator(a, x.reshape(n, n), n)
+            return float(jnp.linalg.norm(r) / jnp.linalg.norm(f))
+
+        r_dst = resid(darcy.solve_cg(a, f, n, n_iters=16, precond="dst"))
+        r_jac = resid(darcy.solve_cg(a, f, n, n_iters=16, precond="jacobi"))
+        assert r_dst < 1e-3, r_dst  # ~f32 floor for this conditioning
+        assert r_dst < r_jac / 100.0, (r_dst, r_jac)
+
+    def test_validation(self):
+        a = jnp.ones((8, 8))
+        with pytest.raises(ValueError):
+            darcy.solve_cg(a, jnp.ones(64), 8, precond="ilu")
