@@ -337,6 +337,38 @@ def darcy_da_pcn() -> Problem:
 
 
 @register
+def darcy64_pcn() -> Problem:
+    """Large-grid Darcy (64² cells, 144-dim KL): DST fast-Poisson
+    preconditioned CG — iteration count stays ~16 where Jacobi needs
+    hundreds. The big-grid capability demonstration."""
+    fwd, aux = darcy.make_darcy_forward(
+        n_grid=64, n_modes_per_dim=12, alpha=2.0, field_scale=10.0,
+        cg_iters=24, precond="dst",
+    )
+    K = 144
+    prior = dist.DiagGaussian(mean=jnp.zeros(K), scale=jnp.ones(K))
+    u_true = prior.sample(jax.random.key(500))
+    m = 16
+    noise = dist.DiagGaussian(mean=jnp.zeros(m), scale=0.002 * jnp.ones(m))
+    y = fwd(u_true) + noise.sample(jax.random.key(501))
+    phi = potentials.misfit_potential(fwd, y, noise)
+    return Problem(
+        name="darcy64_pcn",
+        dim=K,
+        prior=prior,
+        potential_fn=phi,
+        kernel="pcn",
+        kernel_params={"beta": 0.06, "adapt": True},
+        n_chains=512,
+        n_samples=300,
+        burn_in=300,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="64x64 grid, DST-PCG forward solve",
+    )
+
+
+@register
 def darcy_smc() -> Problem:
     """BASELINE config 5: adaptive tempered SMC on the Darcy inverse problem."""
     phi, prior, y, u_true, _ = _darcy_problem()

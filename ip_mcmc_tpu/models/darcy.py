@@ -213,6 +213,7 @@ def make_darcy_forward(
     log_a_mean: float = 0.0,
     method: str = "cg",
     cg_iters: int = 48,
+    precond: str = "jacobi",
     mesh=None,
 ):
     """Build forward(u): KL coefficients (K,) → pressure at observation cells.
@@ -260,7 +261,7 @@ def make_darcy_forward(
         if method == "cg":
             # matrix-free stencil CG: no dense assembly, no scatters —
             # compiles ~100x faster on TPU and scales to large grids
-            p = solve_cg(a, f, n_grid, n_iters=cg_iters)
+            p = solve_cg(a, f, n_grid, n_iters=cg_iters, precond=precond)
         elif method == "sharded":
             from ip_mcmc_tpu.parallel import grid_shard
 

@@ -75,3 +75,12 @@ def test_ode_mala_converges():
     np.testing.assert_allclose(
         np.asarray(m["posterior_mean"]), p.truth, atol=0.25
     )
+
+
+def test_darcy64_dst_config_runs():
+    """Large-grid (64²) Darcy with the DST-preconditioned forward solve."""
+    p = configs.build("darcy64_pcn")
+    p.burn_in = 30
+    m = runner.run_problem(p, key=jax.random.key(0), n_chains=32, n_samples=20)
+    assert m["config"] == "darcy64_pcn"
+    assert np.isfinite(m["min_ess"]) and m["min_ess"] > 0
