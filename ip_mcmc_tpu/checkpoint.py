@@ -60,13 +60,17 @@ def latest_step(directory):
 
 
 class CheckpointingDriver:
-    """Chunked sampling with periodic checkpoints.
+    """Chunked sampling with periodic ASYNC checkpoints.
 
     Runs ``driver.sample_chains`` in chunks of ``chunk_size`` retained
-    samples, checkpointing after each chunk. ``resume()`` picks up from the
-    last saved chunk and (because step keys are ``fold_in(base_key,
-    global_step)``) yields exactly the samples the uninterrupted run would
-    have produced.
+    samples, checkpointing after each chunk. One ``CheckpointManager`` stays
+    open for the whole run and saves are NOT awaited per chunk — Orbax's
+    async checkpointer stages the (tiny) state and writes in a background
+    thread while the next chunk's sampling runs on device; the single
+    ``wait_until_finished`` sits at the end of the run. ``resume()`` picks
+    up from the last saved chunk and (because step keys are
+    ``fold_in(base_key, global_step)``) yields exactly the samples the
+    uninterrupted run would have produced.
     """
 
     def __init__(self, directory, kernel, base_key, *, thin=1, chunk_size=100):
@@ -77,24 +81,33 @@ class CheckpointingDriver:
         self.chunk_size = chunk_size
 
     def run(self, state, n_samples, start_chunk=0):
+        import orbax.checkpoint as ocp
+
         from ip_mcmc_tpu import driver
 
         chunks = []
         n_chunks = -(-n_samples // self.chunk_size)
-        for c in range(start_chunk, n_chunks):
-            take = min(self.chunk_size, n_samples - c * self.chunk_size)
-            # burn through the steps this chunk owns, keyed by global index
-            offset = c * self.chunk_size * self.thin
-            state, samples, _ = driver.sample_chains(
-                self.kernel,
-                state,
-                jax.random.fold_in(self.base_key, offset),
-                n_samples=take,
-                burn_in=0,
-                thin=self.thin,
-            )
-            chunks.append(np.asarray(samples))
-            save(self.directory, c, state)
+        mgr = _manager(self.directory)
+        try:
+            for c in range(start_chunk, n_chunks):
+                take = min(self.chunk_size, n_samples - c * self.chunk_size)
+                # burn through the steps this chunk owns, keyed by global index
+                offset = c * self.chunk_size * self.thin
+                state, samples, _ = driver.sample_chains(
+                    self.kernel,
+                    state,
+                    jax.random.fold_in(self.base_key, offset),
+                    n_samples=take,
+                    burn_in=0,
+                    thin=self.thin,
+                )
+                chunks.append(np.asarray(samples))
+                # async: stages the state and returns; the write overlaps the
+                # next chunk's on-device sampling
+                mgr.save(c, args=ocp.args.StandardSave({"state": state}))
+            mgr.wait_until_finished()
+        finally:
+            mgr.close()
         return state, np.concatenate(chunks, axis=0) if chunks else None
 
     def resume(self, template_state, n_samples):
