@@ -131,6 +131,107 @@ def build_kernel(potential_fn, prior, betas, pcn_step=0.25):
     return kernel
 
 
+@pytree_dataclass
+class PTMalaState:
+    positions: jnp.ndarray  # (T, d)
+    potentials: jnp.ndarray  # (T,) untempered Φ
+    phi_grads: jnp.ndarray  # (T, d) cached ∇Φ (untempered — β scales it)
+    parity: jnp.ndarray
+
+
+def init_mala(position, potential_fn, n_temps):
+    position = jnp.asarray(position)
+    positions = jnp.broadcast_to(position, (n_temps,) + position.shape)
+    phi, g = jax.value_and_grad(potential_fn)(position)
+    return PTMalaState(
+        positions=positions,
+        potentials=jnp.broadcast_to(phi, (n_temps,)),
+        phi_grads=jnp.broadcast_to(g, positions.shape),
+        parity=jnp.int32(0),
+    )
+
+
+def build_mala_kernel(potential_fn, prior, betas, step_size=0.05):
+    """PT with MALA mutations (ROADMAP P2): replica t targets
+    exp(−β_t Φ) μ₀ with gradient proposals ∇log π_t = −β_t ∇Φ + ∇log μ₀.
+    The untempered ∇Φ is cached per replica (one forward+grad eval per
+    replica per step — β only rescales it), and swaps move it with the
+    position. Swap rule identical to the pCN ladder (prior terms cancel)."""
+    betas = jnp.asarray(betas)
+    n_temps = betas.shape[0]
+    eps = step_size
+    prior_vg = jax.vmap(jax.value_and_grad(prior.log_prob))
+    phi_vg = jax.vmap(jax.value_and_grad(potential_fn))
+
+    def kernel(key, state):
+        key_prop, key_acc, key_swap = jax.random.split(key, 3)
+
+        # --- tempered MALA mutation, vectorized over the ladder ---
+        u = state.positions
+        lp0, lp0_grad = prior_vg(u)
+        drift0 = -betas[:, None] * state.phi_grads + lp0_grad
+        xi = jax.random.normal(key_prop, u.shape, u.dtype)
+        mean_fwd = u + 0.5 * eps * eps * drift0
+        v = mean_fwd + eps * xi
+        phi_v, phi_v_grad = phi_vg(v)
+        lp1, lp1_grad = prior_vg(v)
+        drift1 = -betas[:, None] * phi_v_grad + lp1_grad
+        mean_rev = v + 0.5 * eps * eps * drift1
+        inv2e2 = 1.0 / (2.0 * eps * eps)
+        log_q_rev = -jnp.sum(jnp.square(u - mean_rev), axis=1) * inv2e2
+        log_q_fwd = -0.5 * jnp.sum(xi * xi, axis=1)
+        log_ratio = (
+            (-betas * phi_v + lp1) - (-betas * state.potentials + lp0)
+            + log_q_rev - log_q_fwd
+        )
+        log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+        log_u = jnp.log(
+            jax.random.uniform(key_acc, (n_temps,), dtype=log_ratio.dtype)
+        )
+        accepted = log_u < log_ratio
+        positions = jnp.where(accepted[:, None], v, u)
+        potentials = jnp.where(accepted, phi_v, state.potentials)
+        grads = jnp.where(accepted[:, None], phi_v_grad, state.phi_grads)
+
+        # --- adjacent swaps (identical rule; grads travel with positions) ---
+        idx = jnp.arange(n_temps)
+        active = ((idx % 2) == (state.parity % 2)) & (idx < n_temps - 1)
+        beta_next = jnp.roll(betas, -1)
+        phi_next = jnp.roll(potentials, -1)
+        log_swap = (betas - beta_next) * (potentials - phi_next)
+        log_us = jnp.log(
+            jax.random.uniform(key_swap, (n_temps,), dtype=log_swap.dtype)
+        )
+        swap_lead = active & (log_us < log_swap)
+        swap_follow = jnp.roll(swap_lead, 1)
+
+        def shuffle(x):
+            nxt = jnp.roll(x, -1, axis=0)
+            prv = jnp.roll(x, 1, axis=0)
+            lead = swap_lead.reshape((-1,) + (1,) * (x.ndim - 1))
+            follow = swap_follow.reshape((-1,) + (1,) * (x.ndim - 1))
+            return jnp.where(lead, nxt, jnp.where(follow, prv, x))
+
+        new_state = PTMalaState(
+            positions=shuffle(positions),
+            potentials=shuffle(potentials),
+            phi_grads=shuffle(grads),
+            parity=1 - state.parity,
+        )
+        n_active = jnp.maximum(jnp.sum(active.astype(jnp.float32)), 1.0)
+        active_f = active.astype(jnp.float32)
+        info = PTInfo(
+            accept_rate=jnp.mean(accepted.astype(jnp.float32)),
+            swap_rate=jnp.sum(swap_lead.astype(jnp.float32)) / n_active,
+            cold_accepted=accepted[0],
+            pair_swap_prob=jnp.exp(jnp.minimum(log_swap, 0.0)) * active_f,
+            pair_active=active_f,
+        )
+        return new_state, info
+
+    return kernel
+
+
 def betas_from_gaps(rho):
     """Ladder parameterization: β_1 = 1, β_{t+1} = β_t·exp(−e^{ρ_t}).
     Any real gap vector ρ (T−1,) gives a strictly decreasing ladder —

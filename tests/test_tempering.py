@@ -119,3 +119,45 @@ class TestLadderAdaptation:
         assert np.all(pair_rates < target + 0.2), pair_rates
         # and roughly equalized: spread far below an unadapted geometric ladder's
         assert pair_rates.max() - pair_rates.min() < 0.25, pair_rates
+
+
+class TestPTMala:
+    def test_grad_cache_consistent_through_swaps(self):
+        prior, phi = _bimodal_setup()
+        betas = tempering.geometric_ladder(4)
+        kernel = tempering.build_mala_kernel(phi, prior, betas, step_size=0.3)
+        state = tempering.init_mala(jnp.array([0.5]), phi, 4)
+        for i in range(30):
+            state, info = kernel(jax.random.key(i), state)
+        np.testing.assert_allclose(
+            np.asarray(state.potentials),
+            np.asarray(jax.vmap(phi)(state.positions)),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.phi_grads),
+            np.asarray(jax.vmap(jax.grad(phi))(state.positions)),
+            rtol=1e-3, atol=1e-3,
+        )
+
+    def test_pt_mala_mixes_bimodal(self):
+        """PT with MALA mutations crosses the modes of the bimodal target
+        (gradient mutations alone would stay unimodal)."""
+        prior, phi = _bimodal_setup()
+        betas = tempering.geometric_ladder(6, beta_min=0.02)
+        kernel = tempering.build_mala_kernel(phi, prior, betas, step_size=0.25)
+        n_chains = 64
+        states = jax.vmap(lambda p: tempering.init_mala(p, phi, 6))(
+            prior.sample(jax.random.key(0), (n_chains,))
+        )
+
+        def body(sts, i):
+            keys = jax.random.split(jax.random.fold_in(jax.random.key(1), i), n_chains)
+            sts, _ = jax.vmap(kernel)(keys, sts)
+            return sts, sts.positions[:, 0, :]  # cold chain
+
+        _, cold = jax.lax.scan(body, states, jnp.arange(800))
+        cold = np.asarray(cold[200:]).reshape(-1)
+        frac_right = (cold > 0).mean()
+        assert 0.25 < frac_right < 0.75, f"mode occupancy {frac_right}"
+        np.testing.assert_allclose(np.abs(cold).mean(), SEP, atol=0.4)
