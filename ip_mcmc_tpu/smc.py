@@ -50,6 +50,7 @@ class SMCInfo:
     ess: jnp.ndarray  # (max_stages,) post-reweight ESS
     accept_rates: jnp.ndarray  # (max_stages,) mutation acceptance
     n_stages: jnp.ndarray
+    mutation_counts: jnp.ndarray  # (max_stages,) mutation steps per stage
 
 
 def effective_sample_size(log_weights):
@@ -124,6 +125,7 @@ def run(
     pcn_step=0.3,
     max_stages=50,
     waste_free=False,
+    esjd_target=None,
 ):
     """Run adaptive tempered SMC. Returns (SMCState, SMCInfo).
 
@@ -136,12 +138,22 @@ def run(
     becomes a particle instead of only the chain endpoints. Same collective
     structure (the resample just emits fewer ancestors); requires
     n_particles % (mutation_steps + 1) == 0.
+
+    ``esjd_target``: if set, ADAPTIVE mutation counts — each stage runs pCN
+    moves until the pooled cumulative expected squared jump distance
+    Σ_steps mean_i[α_i·‖v_i − x_i‖²] reaches the target (early stages with
+    high acceptance stop sooner; hard stages near β = 1 run longer), capped
+    at ``mutation_steps`` (data-dependent ``lax.while_loop``, on-device).
+    Incompatible with ``waste_free`` (the chain length must be static to
+    unroll the cloud).
     """
     if waste_free and n_particles % (mutation_steps + 1):
         raise ValueError(
             f"waste-free SMC needs n_particles ({n_particles}) divisible by "
             f"mutation_steps+1 ({mutation_steps + 1})"
         )
+    if waste_free and esjd_target is not None:
+        raise ValueError("esjd_target (adaptive counts) is incompatible with waste_free")
     key_init, key_loop = jax.random.split(key)
     particles = prior.sample(key_init, (n_particles,))
     potentials = jax.vmap(potential_fn)(particles)
@@ -154,7 +166,8 @@ def run(
     )
     nan = jnp.full((max_stages,), jnp.nan, dtype=potentials.dtype)
     info = SMCInfo(
-        betas=nan, ess=nan, accept_rates=nan, n_stages=jnp.zeros((), jnp.int32)
+        betas=nan, ess=nan, accept_rates=nan,
+        n_stages=jnp.zeros((), jnp.int32), mutation_counts=nan,
     )
 
     def cond(carry):
@@ -187,18 +200,41 @@ def run(
             position=particles0, potential=new_beta * potentials0
         )
 
-        def mut_body(carry, step_idx):
-            ms, _ = carry
-            keys = chain_keys(key_mut, step_idx, n_mut)
-            ms, minfo = jax.vmap(kernel)(keys, ms)
-            out = (ms.position, ms.potential) if waste_free else None
-            return (ms, jnp.mean(minfo.accept_prob)), out
+        zero = jnp.zeros((), potentials0.dtype)
+        if esjd_target is None:
+            def mut_body(carry, step_idx):
+                ms, _ = carry
+                keys = chain_keys(key_mut, step_idx, n_mut)
+                ms, minfo = jax.vmap(kernel)(keys, ms)
+                out = (ms.position, ms.potential) if waste_free else None
+                return (ms, jnp.mean(minfo.accept_prob)), out
 
-        (mut_state, acc_rate), recorded = jax.lax.scan(
-            mut_body,
-            (mut_state, jnp.zeros((), potentials0.dtype)),
-            jnp.arange(mutation_steps),
-        )
+            (mut_state, acc_rate), recorded = jax.lax.scan(
+                mut_body,
+                (mut_state, zero),
+                jnp.arange(mutation_steps),
+            )
+            n_mut_steps = jnp.int32(mutation_steps)
+        else:
+            def mut_cond(carry):
+                _, _, esjd, i = carry
+                return (esjd < esjd_target) & (i < mutation_steps)
+
+            def mut_body(carry):
+                ms, _, esjd, i = carry
+                prev = ms.position
+                keys = chain_keys(key_mut, i, n_mut)
+                ms, minfo = jax.vmap(kernel)(keys, ms)
+                jump = jnp.mean(
+                    minfo.accept_prob
+                    * jnp.sum(jnp.square(minfo.proposal - prev), axis=-1)
+                )
+                return ms, jnp.mean(minfo.accept_prob), esjd + jump, i + 1
+
+            mut_state, acc_rate, _, n_mut_steps = jax.lax.while_loop(
+                mut_cond, mut_body, (mut_state, zero, zero, jnp.int32(0))
+            )
+            recorded = None
         if waste_free:
             # the next cloud = every state of every mutation chain (starts
             # included): (k+1, M, d) -> (N, d)
@@ -218,6 +254,9 @@ def run(
             ess=info.ess.at[state.stage].set(ess_val),
             accept_rates=info.accept_rates.at[state.stage].set(acc_rate),
             n_stages=info.n_stages + 1,
+            mutation_counts=info.mutation_counts.at[state.stage].set(
+                n_mut_steps.astype(info.mutation_counts.dtype)
+            ),
         )
         state = SMCState(
             particles=particles,

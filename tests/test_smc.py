@@ -161,3 +161,28 @@ class TestWasteFreeSMC:
         with pytest.raises(ValueError):
             smc.run(phi, prior, jax.random.key(0), n_particles=1000,
                     mutation_steps=5, waste_free=True)  # 1000 % 6 != 0
+
+
+class TestAdaptiveMutationCounts:
+    def test_esjd_target_varies_counts_and_matches_posterior(self):
+        """ESJD-targeted mutation: early (easy) stages use fewer steps than
+        the cap, posterior still matches the closed form."""
+        phi, prior, mean, cov, log_z = TestSMCEndToEnd._problem(TestSMCEndToEnd)
+        state, info = smc.run(
+            phi, prior, jax.random.key(0), n_particles=4096,
+            mutation_steps=20, pcn_step=0.5, esjd_target=2.0,
+        )
+        assert float(state.beta) == 1.0
+        p = np.asarray(state.particles)
+        np.testing.assert_allclose(p.mean(axis=0), mean, atol=0.05)
+        np.testing.assert_allclose(float(state.log_z), log_z, atol=0.12)
+        n = int(info.n_stages)
+        counts = np.asarray(info.mutation_counts)[:n]
+        assert np.all(counts >= 1) and np.all(counts <= 20)
+        assert counts.min() < 20  # the target actually stopped some stage early
+
+    def test_incompatible_with_waste_free(self):
+        phi, prior, *_ = TestSMCEndToEnd._problem(TestSMCEndToEnd)
+        with pytest.raises(ValueError):
+            smc.run(phi, prior, jax.random.key(0), n_particles=1024,
+                    mutation_steps=7, waste_free=True, esjd_target=1.0)
