@@ -1,4 +1,6 @@
 from ip_mcmc_tpu.ops.fused_mcmc import (
+    fused_ess_chain,
+    fused_ess_chain_recorded,
     fused_mala_chain,
     fused_mala_chain_recorded,
     fused_pcn_chain,
@@ -10,6 +12,8 @@ from ip_mcmc_tpu.ops.fused_mcmc import (
 )
 
 __all__ = [
+    "fused_ess_chain",
+    "fused_ess_chain_recorded",
     "fused_rwm_chain",
     "fused_rwm_chain_recorded",
     "fused_mala_chain",

@@ -295,6 +295,58 @@ def _make_pcn_warm_step_builder(aux_dim):
     return builder
 
 
+def _make_ess_step_builder(max_shrink):
+    """Elliptical slice sampling, fused form: the bracket-shrink loop is a
+    FIXED-budget fori_loop with per-chain done masks (all lanes pay
+    ``max_shrink`` batched potential evals; expected acceptance is within
+    2-3, so 6-8 is a safe budget). Chains whose bracket hasn't accepted by
+    the budget stay put — the θ→0 limit, which is always in the slice, so
+    validity is unaffected. Tuning-free and rejection-free like the scan
+    path (kernels/elliptical.py)."""
+
+    def builder(pot, mean, scale):
+        two_pi = jnp.float32(_TWO_PI)
+
+        def init(pos):
+            return (pos, pot(pos))
+
+        def step(carry, rand_n, rand_u):
+            pos, phi = carry
+            block = pos.shape[1]
+            m = mean[:, None]
+            nu = scale[:, None] * rand_n(pos.shape, 0)
+            log_y = -phi + jnp.log(rand_u((1, block), 2))[0]
+            theta = two_pi * rand_u((1, block), 4)[0]
+            lo, hi = theta - two_pi, theta
+            done = jnp.zeros((block,), jnp.bool_)
+            centered = pos - m
+
+            # UNROLLED shrink loop (trace-time Python): a lax.fori_loop here
+            # nests three deep once the potential has its own CG loop, which
+            # Mosaic fails to legalize ('scf.for'); max_shrink is small so
+            # unrolling is cheap and flattens the nesting back to two.
+            new_pos, new_phi = pos, phi
+            for k in range(max_shrink):
+                prop = centered * jnp.cos(theta)[None, :] + nu * jnp.sin(
+                    theta
+                )[None, :] + m
+                phi_p = pot(prop)
+                ok = (-phi_p > log_y) & (~done)
+                new_pos = jnp.where(ok[None, :], prop, new_pos)
+                new_phi = jnp.where(ok, phi_p, new_phi)
+                done = done | ok
+                # shrink the bracket toward 0 where still searching
+                lo = jnp.where(done | (theta >= 0.0), lo, theta)
+                hi = jnp.where(done | (theta < 0.0), hi, theta)
+                u = rand_u((1, block), 16 + k)[0]
+                theta = jnp.where(done, theta, lo + (hi - lo) * u)
+            return (new_pos, new_phi), done[None, :]
+
+        return init, step
+
+    return builder
+
+
 def _mala_step_builder(pot_and_grad, step_size):
     """MALA on exp(−Φ): the driver pre-traces value-and-grad of the batched
     potential (``needs_grad`` flag → ``_trace_potential``), so ``pot_and_
@@ -473,6 +525,69 @@ def _run_fused_recorded(
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), positions, *packed)
     return final, acc[0], jnp.swapaxes(samples, 1, 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_steps", "max_shrink", "block_chains"),
+)
+def fused_ess_chain(
+    potential_fn,
+    positions,
+    prior_mean,
+    prior_scale,
+    seed,
+    n_steps=100,
+    max_shrink=8,
+    block_chains=256,
+):
+    """``n_steps`` of elliptical slice sampling on exp(−Φ)dμ₀ (diagonal
+    Gaussian prior), fused in VMEM — tuning-free (no β/ε to adapt). Each
+    step costs ``max_shrink`` batched potential evaluations (masked shrink
+    loop). Returns (final_positions, within-budget-acceptance per chain)."""
+    return _run_fused(
+        _make_ess_step_builder(max_shrink),
+        potential_fn,
+        positions,
+        [
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_scale, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        block_chains,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_steps", "thin", "max_shrink", "block_chains"),
+)
+def fused_ess_chain_recorded(
+    potential_fn,
+    positions,
+    prior_mean,
+    prior_scale,
+    seed,
+    n_steps=100,
+    thin=1,
+    max_shrink=8,
+    block_chains=256,
+):
+    """Elliptical slice sampling with in-kernel trajectory recording."""
+    return _run_fused_recorded(
+        _make_ess_step_builder(max_shrink),
+        potential_fn,
+        positions,
+        [
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_scale, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        thin,
+        block_chains,
+    )
 
 
 @functools.partial(

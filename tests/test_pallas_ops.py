@@ -370,3 +370,57 @@ class TestWarmStartPCN:
         m = runner.run_problem(p)
         assert m["kernel"] == "pcn(fused)"
         assert 0.0 < m["accept_rate"] < 1.0
+
+
+class TestFusedESS:
+    """Fused elliptical slice sampling (masked fixed-budget shrink)."""
+
+    def test_conjugate_posterior(self):
+        from ip_mcmc_tpu.ops import fused_ess_chain
+
+        y = jnp.array([1.0, 1.0])
+        phi = lambda x: 0.5 * jnp.sum((y[:, None] - x) ** 2, axis=0)
+        pos = jnp.zeros((1024, 2), jnp.float32)
+        for seed in (0, 1):
+            pos, acc = fused_ess_chain(
+                phi, pos, prior_mean=np.zeros(2), prior_scale=np.ones(2),
+                seed=seed, n_steps=300, block_chains=128,
+            )
+        p = np.asarray(pos)
+        np.testing.assert_allclose(p.mean(axis=0), [0.5, 0.5], atol=0.07)
+        np.testing.assert_allclose(p.var(axis=0), [0.5, 0.5], atol=0.12)
+        assert float(np.asarray(acc).mean()) > 0.95  # shrink budget suffices
+
+    def test_recorded_matches_endpoint(self):
+        from ip_mcmc_tpu.ops import fused_ess_chain_recorded
+
+        phi = gaussian_potential
+        pos = jnp.zeros((256, 2), jnp.float32)
+        f, acc, s = fused_ess_chain_recorded(
+            phi, pos, prior_mean=np.zeros(2), prior_scale=3.0 * np.ones(2),
+            seed=5, n_steps=20, thin=4, block_chains=128,
+        )
+        assert s.shape == (5, 256, 2)
+        np.testing.assert_allclose(np.asarray(s[-1]), np.asarray(f))
+
+    def test_darcy_misfit_smoke(self):
+        """Tuning-free sampling of the Darcy posterior in the fused kernel
+        (8 CG-solve evals per step, masked)."""
+        from ip_mcmc_tpu import distributions as dist
+        from ip_mcmc_tpu.models import darcy
+        from ip_mcmc_tpu.ops import fused_ess_chain
+
+        fwd, aux = darcy.make_darcy_forward(n_grid=8, n_modes_per_dim=4,
+                                            alpha=2.0, field_scale=10.0)
+        K = 16
+        noise = dist.DiagGaussian(mean=jnp.zeros(16), scale=0.01 * jnp.ones(16))
+        u_true = jax.random.normal(jax.random.key(300), (K,))
+        y = fwd(u_true) + noise.sample(jax.random.key(301))
+        phi = darcy.make_batched_misfit(aux, y, 0.01, cg_iters=24)
+        pos = jax.random.normal(jax.random.key(1), (64, K)) * 0.3
+        pos2, acc = fused_ess_chain(
+            phi, pos, prior_mean=np.zeros(K), prior_scale=np.ones(K),
+            seed=3, n_steps=10, max_shrink=6, block_chains=64,
+        )
+        assert np.isfinite(np.asarray(pos2)).all()
+        assert not np.allclose(np.asarray(pos2), np.asarray(pos))
