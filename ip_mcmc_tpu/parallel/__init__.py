@@ -1,3 +1,4 @@
+from ip_mcmc_tpu.parallel.fused_shard import sharded_fused_chain
 from ip_mcmc_tpu.parallel.mesh import (
     CHAIN_AXIS,
     chain_sharding,
@@ -14,4 +15,5 @@ __all__ = [
     "shard_chains",
     "replicate",
     "sample_chains_sharded",
+    "sharded_fused_chain",
 ]

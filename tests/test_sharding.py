@@ -128,3 +128,58 @@ def test_pcn_sharded_posterior():
     flat = np.asarray(samples).reshape(-1, 2)
     np.testing.assert_allclose(flat.mean(axis=0), [0.5, 0.5], atol=0.06)
     np.testing.assert_allclose(np.cov(flat.T), 0.5 * np.eye(2), atol=0.1)
+
+
+class TestShardedFusedChains:
+    """shard_map over the Pallas fused kernels (parallel.fused_shard)."""
+
+    def _phi(self):
+        y = jnp.array([1.0, 1.0])
+        return lambda x: 0.5 * jnp.sum((y[:, None] - x) ** 2, axis=0)
+
+    def test_matches_serial_oracle_per_device(self):
+        """Each device's shard is BITWISE a standalone single-device run
+        with that device's decorrelated seed."""
+        from ip_mcmc_tpu.ops import fused_pcn_chain
+        from ip_mcmc_tpu.parallel.fused_shard import SEED_STRIDE
+
+        phi = self._phi()
+        mesh = parallel.make_chain_mesh()
+        n, d = 1024, 2
+        pos = jax.random.normal(jax.random.key(0), (n, d))
+        kw = dict(prior_mean=np.zeros(d), prior_scale=np.ones(d), beta=0.5,
+                  n_steps=50, block_chains=128)
+        final, acc = parallel.sharded_fused_chain(
+            fused_pcn_chain, mesh, phi, pos, seed=7, **kw)
+        per = n // mesh.devices.size
+        for didx in (0, mesh.devices.size - 1):
+            f2, _ = fused_pcn_chain(
+                phi, pos[didx * per:(didx + 1) * per],
+                seed=7 + didx * SEED_STRIDE, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(final[didx * per:(didx + 1) * per]), np.asarray(f2))
+
+    def test_recorded_variant_shards_sample_axis(self):
+        from ip_mcmc_tpu.ops import fused_pcn_chain_recorded
+
+        phi = self._phi()
+        mesh = parallel.make_chain_mesh()
+        n, d = 1024, 2
+        pos = jnp.zeros((n, d), jnp.float32)
+        final, acc, samples = parallel.sharded_fused_chain(
+            fused_pcn_chain_recorded, mesh, phi, pos, seed=3,
+            prior_mean=np.zeros(d), prior_scale=np.ones(d), beta=0.5,
+            n_steps=20, thin=4, block_chains=128,
+        )
+        assert samples.shape == (5, n, d)
+        np.testing.assert_allclose(np.asarray(samples[-1]), np.asarray(final))
+
+    def test_validation(self):
+        from ip_mcmc_tpu.ops import fused_pcn_chain
+
+        phi = self._phi()
+        mesh = parallel.make_chain_mesh()
+        with pytest.raises(ValueError):
+            parallel.sharded_fused_chain(
+                fused_pcn_chain, mesh, phi, jnp.zeros((1000, 2)), seed=0,
+                prior_mean=np.zeros(2), prior_scale=np.ones(2), beta=0.5)
