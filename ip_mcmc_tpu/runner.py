@@ -167,7 +167,7 @@ def run_problem(
         and problem.kernel_params.get("fused")
         and problem.batched_potential_fn is not None
     ):
-        return _run_fused_mcmc(problem, key, n_chains, n_samples)
+        return _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=mesh)
 
     key_build, key_run = jax.random.split(key)
     kernel, state, warm_s = _build_kernel_and_state(problem, key_build, n_chains)
@@ -241,13 +241,15 @@ def run_problem(
     return metrics
 
 
-def _run_fused_mcmc(problem, key, n_chains, n_samples):
+def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
     """The fully fused Pallas path (kernel_params={'fused': True}) for
     pCN / MALA / RWM: burn-in launch + recorded sampling launch, diagnostics
     on the recorded series. This is the configuration behind the headline
     bench numbers. pCN consumes the data misfit alone (prior-reversible);
     MALA/RWM target the full posterior, so the whitened-prior potential is
-    folded into the batched potential here."""
+    folded into the batched potential here. ``mesh``: chain-shards the
+    launches over devices via parallel.sharded_fused_chain (one fused
+    program per device, decorrelated seeds, no collectives)."""
     from ip_mcmc_tpu import ops
 
     kp = dict(problem.kernel_params)
@@ -280,19 +282,29 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples):
         else:
             chain, chain_rec = ops.fused_rwm_chain, ops.fused_rwm_chain_recorded
 
+    if mesh is not None:
+        from ip_mcmc_tpu.parallel import sharded_fused_chain
+
+        def launch(fn, pos, seed, **kw):
+            return sharded_fused_chain(
+                fn, mesh, phi_full, pos, seed=seed, block_chains=block,
+                **run_kw, **kw,
+            )
+    else:
+        def launch(fn, pos, seed, **kw):
+            return fn(phi_full, pos, seed=seed, block_chains=block,
+                      **run_kw, **kw)
+
     positions = problem.init_positions(key, n_chains)
     t0 = time.perf_counter()
-    positions, _ = chain(
-        phi_full, positions, seed=1, n_steps=problem.burn_in,
-        block_chains=block, **run_kw,
-    )
+    positions, _ = launch(chain, positions, 1, n_steps=problem.burn_in)
     jax.block_until_ready(positions)
     burn_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    final, acc, samples = chain_rec(
-        phi_full, positions, seed=2, n_steps=n_samples * problem.thin,
-        thin=problem.thin, block_chains=block, **run_kw,
+    final, acc, samples = launch(
+        chain_rec, positions, 2, n_steps=n_samples * problem.thin,
+        thin=problem.thin,
     )
     jax.block_until_ready(samples)
     run_s = time.perf_counter() - t0
