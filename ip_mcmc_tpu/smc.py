@@ -51,6 +51,8 @@ class SMCInfo:
     accept_rates: jnp.ndarray  # (max_stages,) mutation acceptance
     n_stages: jnp.ndarray
     mutation_counts: jnp.ndarray  # (max_stages,) mutation steps per stage
+    mean_potentials: jnp.ndarray  # (max_stages,) E_β[Φ] after each stage
+    prior_mean_potential: jnp.ndarray  # E_{β=0}[Φ] (the TI integrand at 0)
 
 
 def effective_sample_size(log_weights):
@@ -168,6 +170,8 @@ def run(
     info = SMCInfo(
         betas=nan, ess=nan, accept_rates=nan,
         n_stages=jnp.zeros((), jnp.int32), mutation_counts=nan,
+        mean_potentials=nan,
+        prior_mean_potential=jnp.mean(potentials),
     )
 
     def cond(carry):
@@ -257,6 +261,10 @@ def run(
             mutation_counts=info.mutation_counts.at[state.stage].set(
                 n_mut_steps.astype(info.mutation_counts.dtype)
             ),
+            mean_potentials=info.mean_potentials.at[state.stage].set(
+                jnp.mean(potentials)
+            ),
+            prior_mean_potential=info.prior_mean_potential,
         )
         state = SMCState(
             particles=particles,
@@ -269,3 +277,22 @@ def run(
 
     state, info = jax.lax.while_loop(cond, body, (state, info))
     return state, info
+
+
+def thermodynamic_log_z(info):
+    """Independent evidence estimate from the SAME run: thermodynamic
+    integration (path sampling) log Z = −∫₀¹ E_β[Φ] dβ, trapezoid over the
+    adaptive β ladder using the per-stage particle means of Φ (plus the
+    β = 0 prior mean recorded at init). Shares samples but NOT the
+    estimator with ``state.log_z`` (importance-weight telescoping), so
+    agreement between the two anchors the evidence (ROADMAP P2). Host-side
+    post-hoc diagnostic.
+    """
+    import numpy as np
+
+    n = int(info.n_stages)
+    betas = np.concatenate([[0.0], np.asarray(info.betas)[:n]])
+    pots = np.concatenate(
+        [[float(info.prior_mean_potential)], np.asarray(info.mean_potentials)[:n]]
+    )
+    return float(-np.trapezoid(pots, betas))

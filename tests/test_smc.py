@@ -186,3 +186,19 @@ class TestAdaptiveMutationCounts:
         with pytest.raises(ValueError):
             smc.run(phi, prior, jax.random.key(0), n_particles=1024,
                     mutation_steps=7, waste_free=True, esjd_target=1.0)
+
+
+class TestThermodynamicIntegration:
+    def test_ti_anchors_evidence(self):
+        """TI (path sampling over the β ladder) and the SMC telescoping
+        estimator agree with each other AND the closed-form evidence —
+        two estimators, one run (the evidence anchor)."""
+        phi, prior, mean, cov, log_z = TestSMCEndToEnd._problem(TestSMCEndToEnd)
+        state, info = smc.run(
+            phi, prior, jax.random.key(3), n_particles=4096,
+            mutation_steps=10, pcn_step=0.5, ess_target=0.95, max_stages=200,
+        )
+        assert int(info.n_stages) >= 10  # fine ladder: trapezoid bias small
+        ti = smc.thermodynamic_log_z(info)
+        np.testing.assert_allclose(ti, log_z, atol=0.15)
+        np.testing.assert_allclose(ti, float(state.log_z), atol=0.15)
