@@ -56,6 +56,32 @@ def split_rhat(x):
     return jnp.sqrt(var_plus / within)
 
 
+def _rank_normalize(x):
+    """Fractional-rank inverse-normal transform (Blom offsets): pooled
+    ranks over all draws → z-scores. Ties get arbitrary distinct ranks
+    (argsort-of-argsort) — immaterial for continuous chains."""
+    flat = x.reshape(-1)
+    ranks = jnp.argsort(jnp.argsort(flat)) + 1
+    z = jax.scipy.special.ndtri(
+        (ranks.astype(x.dtype) - 0.375) / (flat.size + 0.25)
+    )
+    return z.reshape(x.shape)
+
+
+def rank_normalized_rhat(x):
+    """Rank-normalized split-R̂, max of bulk and tail (folded) versions
+    (Vehtari–Gelman–Simpson–Carpenter–Bürkner 2021). Robust to heavy tails
+    and catches scale (not just location) disagreement between chains.
+    x: (n_steps, n_chains)."""
+    bulk = split_rhat(_rank_normalize(x))
+    folded = split_rhat(_rank_normalize(jnp.abs(x - jnp.median(x))))
+    return jnp.maximum(bulk, folded)
+
+
+def rank_rhat_per_param(samples):
+    return jax.vmap(rank_normalized_rhat, in_axes=2)(samples)
+
+
 def ess(x):
     """Multi-chain effective sample size for one scalar parameter.
 
@@ -111,4 +137,5 @@ def summarize(samples):
         "min_ess": jnp.min(e),
         "rhat": r,
         "max_rhat": jnp.max(r),
+        "max_rank_rhat": jnp.max(rank_rhat_per_param(samples)),
     }

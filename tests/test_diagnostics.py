@@ -66,3 +66,37 @@ def test_diagnostics_jittable():
     f = jax.jit(diagnostics.ess)
     x = jnp.array(np.random.default_rng(6).standard_normal((256, 4)))
     assert np.isfinite(float(f(x)))
+
+
+class TestRankNormalizedRhat:
+    def test_iid_chains_near_one(self):
+        x = jax.random.normal(jax.random.key(0), (400, 8))
+        r = float(diagnostics.rank_normalized_rhat(x))
+        assert 0.99 < r < 1.02
+
+    def test_detects_location_shift(self):
+        x = jax.random.normal(jax.random.key(1), (400, 8))
+        x = x.at[:, 0].add(3.0)  # one stuck/offset chain
+        assert float(diagnostics.rank_normalized_rhat(x)) > 1.1
+
+    def test_folded_detects_scale_mismatch(self):
+        """Chains agree in mean but not variance: plain split-R̂ stays ≈ 1,
+        the folded rank-normalized version flags it."""
+        x = jax.random.normal(jax.random.key(2), (400, 8))
+        x = x.at[:, :4].multiply(3.0)
+        plain = float(diagnostics.split_rhat(x))
+        ranked = float(diagnostics.rank_normalized_rhat(x))
+        assert plain < 1.05
+        assert ranked > 1.1
+
+    def test_robust_to_heavy_tails(self):
+        """Cauchy draws: plain R̂ is erratic; rank-normalized stays ≈ 1 for
+        well-mixed chains."""
+        x = jax.random.cauchy(jax.random.key(3), (400, 8))
+        r = float(diagnostics.rank_normalized_rhat(x))
+        assert 0.99 < r < 1.05
+
+    def test_summarize_includes_rank_rhat(self):
+        s = jax.random.normal(jax.random.key(4), (100, 8, 3))
+        out = diagnostics.summarize(s)
+        assert float(out["max_rank_rhat"]) < 1.05
