@@ -59,6 +59,87 @@ def latest_step(directory):
     return s
 
 
+def sample_chains_inscan(
+    kernel, state, base_key, *, n_samples, thin=1, every=50,
+    directory, start_sample=0,
+):
+    """Chain sampling with checkpoints INSIDE the compiled scan: every
+    ``every`` retained samples an ordered ``io_callback`` ships the (tiny)
+    chain-state pytree to the host, which writes
+    ``{directory}/inscan_{step}.npz`` — no program exit, no chunked host
+    loop (SURVEY.md §5.4's save-every-K-scan-chunks, literally in-scan).
+
+    RNG is keyed by the GLOBAL retained-sample index (``start_sample``
+    offset), so ``resume_inscan`` + this function reproduce the
+    uninterrupted run exactly. Returns (state, samples, info_means) like
+    ``driver.sample_chains``.
+    """
+    import os
+
+    import jax.numpy as jnp
+    from jax.experimental import io_callback
+
+    os.makedirs(directory, exist_ok=True)
+    n_chains = jax.tree_util.tree_leaves(state)[0].shape[0]
+
+    def host_save(step, *leaves):
+        np.savez(
+            os.path.join(directory, f"inscan_{int(step):08d}.npz"),
+            step=np.asarray(step),
+            **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)},
+        )
+        return np.int32(0)
+
+    from ip_mcmc_tpu.driver import chain_keys
+
+    def outer(st, sample_idx):
+        def inner(st, step_idx):
+            keys = chain_keys(base_key, step_idx, n_chains)
+            st, info = jax.vmap(kernel)(keys, st)
+            return st, info
+
+        steps = sample_idx * thin + jnp.arange(thin)
+        st, infos = jax.lax.scan(inner, st, steps)
+        info_mean = jax.tree_util.tree_map(
+            lambda x: jnp.mean(x[-1].astype(jnp.float32), axis=0), infos
+        )
+
+        def save(_):
+            return io_callback(
+                host_save,
+                jax.ShapeDtypeStruct((), jnp.int32),
+                sample_idx,
+                *jax.tree_util.tree_leaves(st),
+                ordered=True,
+            )
+
+        jax.lax.cond(
+            (sample_idx + 1) % every == 0, save, lambda _: jnp.int32(0), None
+        )
+        return st, (st.position, info_mean)
+
+    state, (samples, info_means) = jax.lax.scan(
+        outer, state, start_sample + jnp.arange(n_samples)
+    )
+    return state, samples, info_means
+
+
+def latest_inscan(directory, template_state):
+    """Load the newest in-scan checkpoint: returns (next_sample_index,
+    state) or (0, template_state) if none exists."""
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(directory, "inscan_*.npz")))
+    if not files:
+        return 0, template_state
+    with np.load(files[-1]) as z:
+        step = int(z["step"])
+        leaves = [z[f"leaf{i}"] for i in range(len(z.files) - 1)]
+    treedef = jax.tree_util.tree_structure(template_state)
+    return step + 1, jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 class CheckpointingDriver:
     """Chunked sampling with periodic ASYNC checkpoints.
 

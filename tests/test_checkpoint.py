@@ -68,3 +68,46 @@ def test_resume_from_empty_runs_everything(tmp_path):
     )
     _, samples = d.resume(state, n_samples=12)
     assert samples.shape[0] == 12
+
+
+class TestInScanCheckpointing:
+    def test_resume_reproduces_uninterrupted_run(self, tmp_path):
+        """io_callback in-scan checkpoints + resume == uninterrupted run,
+        bitwise (global-sample-index keying)."""
+        from ip_mcmc_tpu.distributions import DiagGaussian
+        from ip_mcmc_tpu.kernels import pcn
+        from ip_mcmc_tpu import checkpoint, driver
+
+        prior = DiagGaussian(mean=jnp.zeros(2), scale=jnp.ones(2))
+        y = jnp.array([1.0, -0.5])
+        phi = lambda u: 0.5 * jnp.sum((y - u) ** 2)
+        kernel = pcn.build_kernel(phi, prior, beta=0.4)
+        positions = prior.sample(jax.random.key(0), (32,))
+        state0 = driver.init_chains(pcn.init, positions, phi)
+        key = jax.random.key(1)
+        d = str(tmp_path / "inscan")
+
+        # uninterrupted: 40 retained samples
+        _, s_full, _ = checkpoint.sample_chains_inscan(
+            kernel, state0, key, n_samples=40, every=10,
+            directory=str(tmp_path / "full"),
+        )
+        # interrupted at 20, resume from the in-scan checkpoint
+        _, s_a, _ = checkpoint.sample_chains_inscan(
+            kernel, state0, key, n_samples=20, every=10, directory=d,
+        )
+        start, state_r = checkpoint.latest_inscan(d, state0)
+        assert start == 20
+        _, s_b, _ = checkpoint.sample_chains_inscan(
+            kernel, state_r, key, n_samples=20, every=10, directory=d,
+            start_sample=start,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_full), np.concatenate([np.asarray(s_a), np.asarray(s_b)])
+        )
+
+    def test_no_checkpoint_returns_template(self, tmp_path):
+        from ip_mcmc_tpu import checkpoint
+
+        start, st = checkpoint.latest_inscan(str(tmp_path), {"a": jnp.ones(3)})
+        assert start == 0 and float(st["a"][0]) == 1.0
