@@ -11,6 +11,12 @@ Run on TPU: python -m benchmarks.burgers_bench
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 

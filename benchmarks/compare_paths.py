@@ -6,6 +6,11 @@ between steps (state lives in VMEM for the whole launch).
 Run on TPU: python benchmarks/compare_paths.py [n_chains] [n_steps]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

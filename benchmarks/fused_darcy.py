@@ -3,6 +3,11 @@
 Run on TPU: python -m benchmarks.fused_darcy [n_chains] [n_steps]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

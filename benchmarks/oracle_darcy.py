@@ -10,6 +10,11 @@ idiom: Python per-step loop, NumPy dense linalg, one chain.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import scipy.linalg
 

@@ -11,6 +11,11 @@ the mechanism (not the absolute numbers).
 Run: python benchmarks/scaling.py [chains_per_device] [n_steps]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 
