@@ -424,3 +424,31 @@ class TestFusedESS:
         )
         assert np.isfinite(np.asarray(pos2)).all()
         assert not np.allclose(np.asarray(pos2), np.asarray(pos))
+
+
+def test_warm_dst_matches_jacobi_acceptance():
+    """DST-preconditioned warm CG (bf16 MXU Kronecker factors): same
+    acceptance as the Jacobi warm path on identical streams — the
+    preconditioner changes the solver path, not the solution."""
+    from ip_mcmc_tpu import distributions as dist
+    from ip_mcmc_tpu.models import darcy
+    from ip_mcmc_tpu.ops import fused_pcn_chain_warm
+
+    fwd, aux = darcy.make_darcy_forward(n_grid=8, n_modes_per_dim=4,
+                                        alpha=2.0, field_scale=10.0)
+    K = 16
+    noise = dist.DiagGaussian(mean=jnp.zeros(16), scale=0.002 * jnp.ones(16))
+    u_true = jax.random.normal(jax.random.key(300), (K,))
+    y = fwd(u_true) + noise.sample(jax.random.key(301))
+    pj, adj = darcy.make_batched_misfit_warm(aux, y, 0.002, cg_iters=12)
+    pd, add = darcy.make_batched_misfit_warm(aux, y, 0.002, cg_iters=4,
+                                             precond="dst")
+    pos = jax.random.normal(jax.random.key(1), (64, K)) * 0.3
+    kw = dict(prior_mean=np.zeros(K), prior_scale=np.ones(K), beta=0.1,
+              seed=5, n_steps=30, block_chains=64)
+    _, aj = fused_pcn_chain_warm(pj, pos, aux_dim=adj, **kw)
+    _, ad = fused_pcn_chain_warm(pd, pos, aux_dim=add, **kw)
+    np.testing.assert_allclose(float(np.asarray(aj).mean()),
+                               float(np.asarray(ad).mean()), atol=0.05)
+    with pytest.raises(ValueError):
+        darcy.make_batched_misfit_warm(aux, y, 0.002, precond="amg")
