@@ -259,7 +259,8 @@ def darcy_pcn_warm() -> Problem:
     _, aux = darcy.make_darcy_forward(
         n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
     )
-    warm = darcy.make_batched_misfit_warm(aux, y, 0.002, cg_iters=16)
+    warm = darcy.make_batched_misfit_warm(aux, y, 0.002, cg_iters=6,
+                                          precond="dst")
     return Problem(
         name="darcy_pcn_warm",
         dim=64,
