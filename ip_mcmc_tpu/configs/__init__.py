@@ -281,6 +281,28 @@ def darcy_pcn_warm() -> Problem:
 
 
 @register
+def darcy_ess_fused() -> Problem:
+    """Fused elliptical slice sampling on Darcy: tuning-free (no β), the
+    masked shrink loop runs the CG misfit up to max_shrink times per step."""
+    phi, prior, y, u_true, phi_batched = _darcy_problem()
+    return Problem(
+        name="darcy_ess_fused",
+        dim=64,
+        prior=prior,
+        potential_fn=phi,
+        kernel="elliptical",
+        kernel_params={"fused": True, "max_shrink": 6, "block_chains": 256},
+        n_chains=4096,
+        n_samples=400,
+        burn_in=200,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="rejection-free, 3x per-step ESS of pCN at this geometry",
+        batched_potential_fn=phi_batched,
+    )
+
+
+@register
 def darcy_mala_fused() -> Problem:
     """Fused-Pallas MALA on Darcy: gradient-based proposals with the ADJOINT
     CG solve inside the kernel (darcy.make_batched_misfit differentiable=True

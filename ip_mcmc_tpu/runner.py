@@ -163,7 +163,7 @@ def run_problem(
         return _run_smc(problem, key, n_chains)
 
     if (
-        problem.kernel in ("pcn", "mala", "rwm")
+        problem.kernel in ("pcn", "mala", "rwm", "elliptical")
         and problem.kernel_params.get("fused")
         and problem.batched_potential_fn is not None
     ):
@@ -258,7 +258,12 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
     pm = np.asarray(problem.prior.mean)
     ps = np.asarray(problem.prior.scale)
 
-    if problem.kernel == "pcn":
+    if problem.kernel == "elliptical":
+        run_kw = dict(prior_mean=pm, prior_scale=ps,
+                      max_shrink=kp.get("max_shrink", 8))
+        chain, chain_rec = ops.fused_ess_chain, ops.fused_ess_chain_recorded
+        phi_full = phi_b
+    elif problem.kernel == "pcn":
         beta = kp.get("beta", 0.2)
         run_kw = dict(prior_mean=pm, prior_scale=ps, beta=beta)
         if kp.get("warm") and problem.batched_warm_potential is not None:

@@ -84,3 +84,13 @@ def test_darcy64_dst_config_runs():
     m = runner.run_problem(p, key=jax.random.key(0), n_chains=32, n_samples=20)
     assert m["config"] == "darcy64_pcn"
     assert np.isfinite(m["min_ess"]) and m["min_ess"] > 0
+
+
+def test_darcy_ess_fused_config_runs():
+    """Tuning-free fused slice sampling through the runner."""
+    p = configs.build("darcy_ess_fused")
+    p.kernel_params["block_chains"] = 64
+    p.burn_in = 5
+    m = runner.run_problem(p, key=jax.random.key(0), n_chains=64, n_samples=10)
+    assert m["kernel"] == "elliptical(fused)"
+    assert np.isfinite(m["min_ess"]) and m["min_ess"] > 0
