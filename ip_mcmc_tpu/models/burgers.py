@@ -72,13 +72,21 @@ def make_burgers_forward(
     cfl_amax: float = 3.0,
     obs_indices=None,
     mean_profile=None,
+    obs_times=None,
 ):
-    """Build forward(u): KL coefficients (whitened) → final-time solution at
-    observation cells.
+    """Build forward(u): KL coefficients (whitened) → solution at
+    observation cells, at ``t_final`` or at each of ``obs_times``.
 
     Initial data: u0(x) = mean_profile(x) + Σ u_k √λ_k φ_k(x) (periodic
     Fourier basis). ``cfl_amax`` bounds |u| for the static CFL time step:
     dt = CFL·h/amax with CFL=0.5 — keep the prior scale consistent with it.
+
+    ``obs_times``: optional increasing physical times (≤ t_final); the
+    forward returns the CONCATENATION of the observed cells at each time
+    (reference parity: ``EvolutionPotential`` observes the evolution at
+    times AND points, SURVEY.md §2.1). Times snap to the static CFL grid;
+    the time loop runs as one ``lax.scan`` per inter-observation segment —
+    static shapes throughout.
     """
     centers = (np.arange(n_cells) + 0.5) / n_cells
     basis_np = kl.fourier_basis(n_modes, centers)
@@ -97,10 +105,26 @@ def make_burgers_forward(
         obs_indices = np.linspace(0, n_cells - 1, 16).round().astype(int)
     obs_indices = jnp.asarray(np.asarray(obs_indices))
 
+    if obs_times is None:
+        segment_steps = [n_steps]
+    else:
+        ts = np.asarray(obs_times, float)
+        if not (np.all(np.diff(ts) > 0) and ts[0] > 0 and ts[-1] <= t_final + 1e-9):
+            raise ValueError(
+                f"obs_times must be increasing in (0, t_final={t_final}], got {ts}"
+            )
+        step_idx = np.clip(np.round(ts / dt).astype(int), 1, n_steps)
+        if len(np.unique(step_idx)) != len(step_idx):
+            raise ValueError(f"obs_times collapse onto the same CFL steps: {step_idx}")
+        segment_steps = np.diff(np.concatenate([[0], step_idx])).tolist()
+
     def forward(u):
-        u0 = mean + u @ scaled_basis
-        final = integrate(u0, dt, n_steps)
-        return final[obs_indices]
+        state = mean + u @ scaled_basis
+        outs = []
+        for seg in segment_steps:  # static unroll: ≤ len(obs_times) scans
+            state = integrate(state, dt, int(seg))
+            outs.append(state[obs_indices])
+        return jnp.concatenate(outs)
 
     aux = {
         "scaled_basis": scaled_basis,
@@ -110,6 +134,7 @@ def make_burgers_forward(
         "dt": dt,
         "n_steps": n_steps,
         "mean": mean,
+        "segment_steps": segment_steps,
     }
     return forward, aux
 
@@ -125,7 +150,8 @@ def make_batched_misfit(aux, data, noise_scale):
     basis = aux["scaled_basis"]
     mean = aux["mean"]
     obs = np.asarray(aux["obs_indices"])
-    dt, n_steps = aux["dt"], aux["n_steps"]
+    dt = aux["dt"]
+    segments = [int(s) for s in aux.get("segment_steps", [aux["n_steps"]])]
     n_cells = aux["n_cells"]
     dt_over_h = dt * n_cells
     # observation as a one-hot matmul (Mosaic has no gather lowering)
@@ -134,7 +160,7 @@ def make_batched_misfit(aux, data, noise_scale):
     obs_mat = jnp.asarray(obs_mat)
 
     def phi(U):  # (K, block) -> (block,)
-        u0 = mean[:, None] + basis.T @ U  # (cells, block), MXU matmul
+        state = mean[:, None] + basis.T @ U  # (cells, block), MXU matmul
 
         def body(_, state):
             # fori_loop, not scan: Mosaic only lowers index-style loops
@@ -143,8 +169,11 @@ def make_batched_misfit(aux, data, noise_scale):
             flux_up = jnp.roll(flux_down, 1, axis=0)
             return state - dt_over_h * (flux_down - flux_up)
 
-        final = jax.lax.fori_loop(0, n_steps, body, u0)
-        pred = obs_mat @ final  # (m, block)
+        preds = []
+        for seg in segments:  # static unroll over observation times
+            state = jax.lax.fori_loop(0, seg, body, state)
+            preds.append(obs_mat @ state)  # (m, block)
+        pred = jnp.concatenate(preds, axis=0)
         r = (data[:, None] - pred) / noise_scale
         return 0.5 * jnp.sum(r * r, axis=0)
 

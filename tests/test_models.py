@@ -402,3 +402,45 @@ class TestDSTPreconditioner:
         a = jnp.ones((8, 8))
         with pytest.raises(ValueError):
             darcy.solve_cg(a, jnp.ones(64), 8, precond="ilu")
+
+
+class TestBurgersMultiTimeObservations:
+    def test_multi_time_matches_recorded_trajectory(self):
+        """obs_times forward == slicing the recorded trajectory at the
+        snapped step indices."""
+        times = [0.05, 0.1, 0.2]
+        fwd, aux = burgers.make_burgers_forward(
+            n_cells=64, n_modes=8, t_final=0.2, obs_times=times,
+            mean_profile=np.sin(2 * np.pi * (np.arange(64) + 0.5) / 64),
+        )
+        u = jax.random.normal(jax.random.key(0), (8,)) * 0.5
+        out = fwd(u)
+        obs = np.asarray(aux["obs_indices"])
+        assert out.shape == (3 * len(obs),)
+        # oracle: integrate once recording every step
+        u0 = aux["mean"] + u @ aux["scaled_basis"]
+        _, traj = burgers.integrate(u0, aux["dt"], aux["n_steps"], record_every=1)
+        steps = np.cumsum(aux["segment_steps"]) - 1
+        expect = np.concatenate([np.asarray(traj[s])[obs] for s in steps])
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6)
+
+    def test_batched_misfit_matches_forward(self):
+        times = [0.1, 0.2]
+        fwd, aux = burgers.make_burgers_forward(
+            n_cells=64, n_modes=8, t_final=0.2, obs_times=times,
+        )
+        u_true = jax.random.normal(jax.random.key(1), (8,)) * 0.5
+        y = fwd(u_true)
+        phi_b = burgers.make_batched_misfit(aux, y, 0.05)
+        U = jax.random.normal(jax.random.key(2), (8, 4)) * 0.5
+        got = phi_b(U)
+        expect = jax.vmap(
+            lambda u: 0.5 * jnp.sum(((y - fwd(u)) / 0.05) ** 2)
+        )(U.T)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-4)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            burgers.make_burgers_forward(t_final=0.2, obs_times=[0.1, 0.05])
+        with pytest.raises(ValueError):
+            burgers.make_burgers_forward(t_final=0.2, obs_times=[0.1, 0.3])
