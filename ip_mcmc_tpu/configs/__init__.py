@@ -139,6 +139,19 @@ def lingauss_elliptical() -> Problem:
     return p
 
 
+@register
+def lingauss_fes() -> Problem:
+    """Functional ensemble sampler on the config-2 problem: affine-invariant
+    stretch moves on the 6 leading KL modes + pCN complement (Coullon–Webber
+    2020) — self-tunes to posterior correlations with no covariance
+    adaptation."""
+    p = lingauss_pcn()
+    p.name = "lingauss_fes"
+    p.kernel = "fes"
+    p.kernel_params = {"n_low_modes": 6, "pcn_beta": 0.25}
+    return p
+
+
 def _lv_problem(kernel: str, kernel_params: dict, n_chains: int) -> Problem:
     y0 = jnp.array([1.0, 0.5])
     dt, n_steps = 0.05, 200  # t ∈ [0, 10]

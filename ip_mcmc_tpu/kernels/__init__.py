@@ -1,6 +1,7 @@
 from ip_mcmc_tpu.kernels import (
     chees_hmc,
     da_pcn,
+    ensemble,
     elliptical,
     hmc,
     mala,
@@ -15,6 +16,7 @@ __all__ = [
     "rwm",
     "pcn",
     "da_pcn",
+    "ensemble",
     "mala",
     "hmc",
     "nuts",

@@ -156,6 +156,9 @@ def run_problem(
     if problem.kernel == "chees":
         return _run_chees(problem, key, n_chains, n_samples, metrics_log)
 
+    if problem.kernel == "fes":
+        return _run_fes(problem, key, n_chains, n_samples)
+
     if problem.kernel == "smc":
         if mesh is not None:
             with jax.sharding.set_mesh(mesh):
@@ -390,6 +393,53 @@ def _run_chees(problem, key, n_chains, n_samples, metrics_log=None):
         "posterior_mean": np.asarray(summ["mean"]).tolist(),
     }
     return metrics
+
+
+def _run_fes(problem, key, n_chains, n_samples):
+    """Functional ensemble sampler path (batch-level: the walker ensemble
+    is the chain axis; see kernels/ensemble.py)."""
+    from ip_mcmc_tpu.kernels import ensemble
+
+    kp = dict(problem.kernel_params)
+    key_init, key_run = jax.random.split(key)
+    positions = problem.init_positions(key_init, n_chains)
+
+    def _sample():
+        return ensemble.sample_fes(
+            problem.potential_fn, problem.prior, positions, key_run,
+            kp.get("n_low_modes", min(8, problem.dim)),
+            stretch_a=kp.get("stretch_a", 2.0),
+            pcn_beta=kp.get("pcn_beta", 0.2),
+            n_samples=n_samples, burn_in=problem.burn_in, thin=problem.thin,
+        )
+
+    t0 = time.perf_counter()
+    out = _sample()
+    jax.block_until_ready(out[1])
+    compile_and_run_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    final_state, samples, infos = _sample()
+    jax.block_until_ready(samples)
+    run_s = time.perf_counter() - t0
+
+    summ = diagnostics.summarize(samples)
+    return {
+        "config": problem.name,
+        "kernel": "fes",
+        "n_chains": int(n_chains),
+        "n_samples": int(n_samples),
+        "dim": int(problem.dim),
+        "compile_s": max(compile_and_run_s - run_s, 0.0),
+        "run_s": run_s,
+        "steps_per_s": (problem.burn_in + n_samples * problem.thin)
+        * n_chains / run_s,
+        "min_ess": float(summ["min_ess"]),
+        "ess_per_s": float(summ["min_ess"]) / run_s,
+        "max_rhat": float(summ["max_rhat"]),
+        "accept_rate": float(np.asarray(infos.stretch_accept).mean()),
+        "pcn_accept_rate": float(np.asarray(infos.pcn_accept).mean()),
+        "posterior_mean": np.asarray(summ["mean"]).tolist(),
+    }
 
 
 def _run_smc(problem, key, n_particles):
