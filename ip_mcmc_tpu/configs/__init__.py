@@ -405,6 +405,37 @@ def darcy64_pcn() -> Problem:
 
 
 @register
+def darcy_da_pod() -> Problem:
+    """Delayed-acceptance pCN with a POD reduced-order surrogate (rank-20
+    Galerkin projection from 64 offline prior solves — the data-driven
+    model-reduction recipe): the subchain runs on the tiny reduced system,
+    one full solve per ``subchain_len`` proposals corrects exactly."""
+    phi, prior, y, u_true, phi_batched = _darcy_problem()
+    _, aux = darcy.make_darcy_forward(
+        n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+    )
+    phi_pod = darcy.make_pod_surrogate(
+        aux, y, 0.002, jax.random.key(777), n_snapshots=64, rank=20
+    )
+    return Problem(
+        name="darcy_da_pod",
+        dim=64,
+        prior=prior,
+        potential_fn=phi,
+        kernel="da_pcn",
+        kernel_params={"beta": 0.08, "subchain_len": 4},
+        n_chains=4096,
+        n_samples=250,
+        burn_in=150,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="reduced-order subchain + exact correction",
+        batched_potential_fn=phi_batched,
+        surrogate_potential_fn=phi_pod,
+    )
+
+
+@register
 def darcy_smc() -> Problem:
     """BASELINE config 5: adaptive tempered SMC on the Darcy inverse problem."""
     phi, prior, y, u_true, _ = _darcy_problem()

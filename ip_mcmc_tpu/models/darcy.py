@@ -540,6 +540,65 @@ def make_batched_misfit_warm(aux, data, noise_scale, cg_iters: int = 16,
     return phi2, n * n
 
 
+def make_pod_surrogate(aux, data, noise_scale, key, n_snapshots: int = 64,
+                       rank: int = 20, log_a_mean: float = 0.0,
+                       prior_scale=None):
+    """Data-driven reduced-order misfit (PAPERS.md: Cui–Marzouk–Willcox
+    1403.4290 — model reduction for Bayesian inversion): OFFLINE, solve the
+    full Darcy problem at ``n_snapshots`` prior draws and take the rank-r
+    POD (SVD) basis V of the pressure snapshots; ONLINE, Galerkin-project
+    each chain's operator onto V — solve the tiny dense SPD system
+    (Vᵀ A(a) V) c = Vᵀ f (one batched r×r Cholesky) instead of the n²
+    grid solve.
+
+    Cost per evaluation: r stencil applies + one (r, n²)·(n², r) MXU
+    contraction + an r×r solve — vs cg_iters stencil applies for the full
+    model. Any surrogate error is REMOVED by delayed acceptance
+    (``kernels.da_pcn``): use this as the ``surrogate_fn``.
+
+    Returns phi_r(u): (K,) → scalar, vmappable.
+    """
+    data = jnp.asarray(data, jnp.float32)
+    noise_scale = jnp.asarray(noise_scale, jnp.float32)
+    basis = aux["scaled_basis"]  # (K, n²)
+    n = int(aux["n_grid"])
+    f = jnp.asarray(aux["source"]).reshape(-1)
+    obs_indices = aux["obs_indices"]
+    K = basis.shape[0]
+
+    # ---- offline: snapshots at prior draws, POD via SVD ----
+    if prior_scale is None:
+        prior_scale = jnp.ones((K,), jnp.float32)
+    draws = jnp.asarray(prior_scale) * jax.random.normal(
+        key, (n_snapshots, K)
+    )
+
+    def full_solve(u):
+        a = jnp.exp(log_a_mean + u @ basis).reshape(n, n)
+        return solve_cg(a, f, n, n_iters=120, precond="dst")
+
+    snapshots = jax.vmap(full_solve)(draws)  # (S, n²)
+    _, _, vt = jnp.linalg.svd(snapshots, full_matrices=False)
+    V = vt[:rank].T  # (n², r) orthonormal columns
+    Vt_f = V.T @ f  # (r,)
+    obs_V = V[obs_indices]  # (m, r)
+
+    def phi_r(u):
+        a = jnp.exp(log_a_mean + u @ basis).reshape(n, n)
+        AV = jax.vmap(
+            lambda col: apply_operator(a, col.reshape(n, n), n).reshape(-1),
+            in_axes=1, out_axes=1,
+        )(V)  # (n², r): r stencil applies
+        Ar = V.T @ AV  # (r, r) — Galerkin projection, SPD
+        L = jnp.linalg.cholesky(Ar)
+        c = jax.scipy.linalg.cho_solve((L, True), Vt_f)
+        pred = obs_V @ c
+        res = (data - pred) / noise_scale
+        return 0.5 * jnp.sum(res * res)
+
+    return phi_r
+
+
 def solve_pressure(u, aux, log_a_mean: float = 0.0):
     """Full pressure field for a coefficient vector (diagnostics/plots)."""
     n = aux["n_grid"]

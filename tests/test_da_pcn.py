@@ -117,3 +117,29 @@ class TestDarcyDAConfig:
         # same order of magnitude — correlated enough to be a useful filter
         ratio = np.asarray(surr) / np.asarray(exact)
         assert np.all(ratio > 0.2) and np.all(ratio < 5.0)
+
+
+class TestPODSurrogate:
+    def test_pod_tracks_exact_misfit(self):
+        """Rank-20 POD surrogate correlates tightly with the full misfit on
+        prior draws (offline basis spans the prior solution manifold)."""
+        from ip_mcmc_tpu import configs
+
+        p = configs.build("darcy_da_pod")
+        u = p.prior.sample(jax.random.key(11), (16,))
+        exact = np.asarray(jax.vmap(p.potential_fn)(u))
+        surr = np.asarray(jax.vmap(p.surrogate_potential_fn)(u))
+        # strong rank correlation + same scale
+        corr = np.corrcoef(exact, surr)[0, 1]
+        assert corr > 0.95, corr
+        ratio = surr / exact
+        assert np.all(ratio > 0.3) and np.all(ratio < 3.0), ratio
+
+    def test_da_pod_runner_smoke(self):
+        from ip_mcmc_tpu import configs, runner
+
+        p = configs.build("darcy_da_pod")
+        p.n_chains, p.n_samples, p.burn_in = 64, 20, 10
+        m = runner.run_problem(p)
+        assert m["kernel"] == "da_pcn"
+        assert 0.0 < m["accept_rate"] <= 1.0
