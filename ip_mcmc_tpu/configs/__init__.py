@@ -12,6 +12,12 @@ synthesized with fixed seeds, so every named benchmark is reproducible via
 5. darcy_smc       — adaptive tempered SMC on the Darcy inverse problem
 +  burgers_pcn     — the reference's headline problem class: conservation-law
                      initial-data inversion (derivative-free pCN)
+
+Beyond-BASELINE configs: lingauss_elliptical, lingauss_fes (ensemble
+sampler), ode_hmc, ode_chees, darcy_pcn_warm / darcy_mala_fused /
+darcy_ess_fused (fused Pallas variants), darcy_da_pcn / darcy_da_pod
+(delayed acceptance: loose-CG / POD reduced-order surrogates), darcy64_pcn
+(large grid, DST-PCG), burgers_multitime_pcn. ``--list`` shows all.
 """
 
 from __future__ import annotations
