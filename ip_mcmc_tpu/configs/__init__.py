@@ -379,6 +379,41 @@ def darcy_da_pcn() -> Problem:
 
 
 @register
+def darcy32_pcn_warm() -> Problem:
+    """Fused warm pCN at 32×32 cells: the whole 1024-cell PCG solve stays
+    in VMEM (2.7M chain-steps/s measured on one v5e chip). Jacobi
+    preconditioning — the DST Kronecker factors outgrow VMEM at this n
+    (documented limit); warm-32 keeps solution error ~3e-4 ≪ noise."""
+    fwd, aux = darcy.make_darcy_forward(
+        n_grid=32, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+    )
+    K = 64
+    prior = dist.DiagGaussian(mean=jnp.zeros(K), scale=jnp.ones(K))
+    u_true = prior.sample(jax.random.key(310))
+    noise = dist.DiagGaussian(mean=jnp.zeros(16), scale=0.002 * jnp.ones(16))
+    y = fwd(u_true) + noise.sample(jax.random.key(311))
+    phi = potentials.misfit_potential(fwd, y, noise)
+    warm = darcy.make_batched_misfit_warm(aux, y, 0.002, cg_iters=32)
+    return Problem(
+        name="darcy32_pcn_warm",
+        dim=K,
+        prior=prior,
+        potential_fn=phi,
+        kernel="pcn",
+        kernel_params={"fused": True, "warm": True, "beta": 0.08,
+                       "block_chains": 128},
+        n_chains=4096,
+        n_samples=400,
+        burn_in=300,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="32x32 grid entirely in the fused kernel",
+        batched_potential_fn=darcy.make_batched_misfit(aux, y, 0.002, cg_iters=96),
+        batched_warm_potential=warm,
+    )
+
+
+@register
 def darcy64_pcn() -> Problem:
     """Large-grid Darcy (64² cells, 144-dim KL): DST fast-Poisson
     preconditioned CG — iteration count stays ~16 where Jacobi needs

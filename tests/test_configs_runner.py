@@ -94,3 +94,13 @@ def test_darcy_ess_fused_config_runs():
     m = runner.run_problem(p, key=jax.random.key(0), n_chains=64, n_samples=10)
     assert m["kernel"] == "elliptical(fused)"
     assert np.isfinite(m["min_ess"]) and m["min_ess"] > 0
+
+
+def test_darcy32_warm_config_runs():
+    """32x32-grid fused warm pCN through the runner (interpret mode)."""
+    p = configs.build("darcy32_pcn_warm")
+    p.kernel_params["block_chains"] = 32
+    p.burn_in = 4
+    m = runner.run_problem(p, key=jax.random.key(0), n_chains=32, n_samples=6)
+    assert m["kernel"] == "pcn(fused)"
+    assert 0.0 < m["accept_rate"] < 1.0
