@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--n-chains", type=int, default=1024)
     ap.add_argument("--n-samples", type=int, default=500)
     ap.add_argument("--smc", action="store_true", help="use adaptive SMC instead of pCN")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused Pallas warm-DST kernel (the headline path)")
     args = ap.parse_args()
 
     n_grid = 16
@@ -47,6 +49,26 @@ def main():
         )
         coeffs = np.asarray(state.particles)
         print(f"SMC stages: {int(info.n_stages)}, log Z: {float(state.log_z):.2f}")
+    elif args.fused:
+        from ip_mcmc_tpu.ops import fused_pcn_chain_warm, fused_pcn_chain_warm_recorded
+
+        phi_w, aux_dim = darcy.make_batched_misfit_warm(
+            aux, y, 0.002, cg_iters=6, precond="dst"
+        )
+        pm, ps = np.zeros(K), np.ones(K)
+        block = min(256, args.n_chains)
+        pos = prior.sample(jax.random.key(0), (args.n_chains,))
+        pos, _ = fused_pcn_chain_warm(
+            phi_w, pos, prior_mean=pm, prior_scale=ps, beta=0.08, seed=1,
+            n_steps=500, aux_dim=aux_dim, block_chains=block,
+        )
+        _, acc, samples = fused_pcn_chain_warm_recorded(
+            phi_w, pos, prior_mean=pm, prior_scale=ps, beta=0.08, seed=2,
+            n_steps=args.n_samples, thin=1, aux_dim=aux_dim, block_chains=block,
+        )
+        coeffs = np.asarray(samples).reshape(-1, K)
+        print(f"accept rate: {np.asarray(acc).mean():.3f}")
+        print(f"min ESS    : {float(diagnostics.ess_per_param(samples).min()):.0f}")
     else:
         kernel = pcn.build_kernel(phi, prior, beta=0.08)
         key_i, key_r = jax.random.split(jax.random.key(0))
