@@ -183,3 +183,28 @@ class TestShardedFusedChains:
             parallel.sharded_fused_chain(
                 fused_pcn_chain, mesh, phi, jnp.zeros((1000, 2)), seed=0,
                 prior_mean=np.zeros(2), prior_scale=np.ones(2), beta=0.5)
+
+    def test_warm_variant_with_carried_aux_shards(self):
+        """The warm kernel's carried CG solution stays device-local under
+        shard_map (aux never crosses the mesh)."""
+        from ip_mcmc_tpu import distributions as dist
+        from ip_mcmc_tpu.models import darcy
+        from ip_mcmc_tpu.ops import fused_pcn_chain_warm
+
+        fwd, aux = darcy.make_darcy_forward(n_grid=8, n_modes_per_dim=4,
+                                            alpha=2.0, field_scale=10.0)
+        K = 16
+        noise = dist.DiagGaussian(mean=jnp.zeros(16), scale=0.01 * jnp.ones(16))
+        u_true = jax.random.normal(jax.random.key(300), (K,))
+        y = fwd(u_true) + noise.sample(jax.random.key(301))
+        warm, aux_dim = darcy.make_batched_misfit_warm(aux, y, 0.01, cg_iters=8)
+        mesh = parallel.make_chain_mesh()
+        n = 8 * mesh.devices.size
+        pos = jax.random.normal(jax.random.key(1), (n, K)) * 0.3
+        final, acc = parallel.sharded_fused_chain(
+            fused_pcn_chain_warm, mesh, warm, pos, seed=3,
+            prior_mean=np.zeros(K), prior_scale=np.ones(K), beta=0.1,
+            n_steps=5, aux_dim=aux_dim, block_chains=8,
+        )
+        assert final.shape == pos.shape
+        assert np.isfinite(np.asarray(final)).all()
