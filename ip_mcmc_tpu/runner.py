@@ -170,7 +170,14 @@ def run_problem(
         and problem.kernel_params.get("fused")
         and problem.batched_potential_fn is not None
     ):
-        return _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=mesh)
+        metrics = _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=mesh)
+        if metrics_log is not None:
+            from ip_mcmc_tpu.utils.logging import MetricsLogger
+
+            logger = MetricsLogger(path=metrics_log)
+            logger.log({"event": "run_complete", **metrics})
+            logger.close()
+        return metrics
 
     key_build, key_run = jax.random.split(key)
     kernel, state, warm_s = _build_kernel_and_state(problem, key_build, n_chains)

@@ -85,3 +85,29 @@ class TestRunnerConfig:
         err = np.abs(np.asarray(m["posterior_mean"]) - p.truth).max()
         assert err < 0.08, err
         assert 0.05 < m["accept_rate"] < 0.95
+
+
+class TestMeshInvariance:
+    def test_fes_identical_under_sharding(self):
+        """Global-view semantics: the batch-level FES program (including the
+        cross-walker partner gather) gives bitwise-identical results when
+        the walker axis is sharded over the mesh."""
+        import jax.sharding as shd
+        from ip_mcmc_tpu import parallel
+
+        prior = DiagGaussian(mean=jnp.zeros(2), scale=jnp.ones(2))
+        phi = lambda u: 0.5 * jnp.sum((jnp.ones(2) - u) ** 2)
+        positions = prior.sample(jax.random.key(0), (256,))
+        _, s1, _ = ensemble.sample_fes(
+            phi, prior, positions, jax.random.key(1), n_low_modes=2,
+            n_samples=50, burn_in=10,
+        )
+        mesh = parallel.make_chain_mesh()
+        sharded = jax.device_put(
+            positions, shd.NamedSharding(mesh, shd.PartitionSpec("chains"))
+        )
+        _, s2, _ = ensemble.sample_fes(
+            phi, prior, sharded, jax.random.key(1), n_low_modes=2,
+            n_samples=50, burn_in=10,
+        )
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
