@@ -32,6 +32,7 @@ def test_unknown_config_raises():
         ("gauss2d_rwm", 64, 100),
         ("lingauss_pcn", 64, 100),
         ("burgers_pcn", 32, 40),
+        ("burgers_multitime_pcn", 32, 40),
     ],
 )
 def test_mcmc_configs_run(name, n_chains, n_samples):
