@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ip_mcmc_tpu.kernels.base import MHInfo, mh_select
+from ip_mcmc_tpu.kernels.base import mh_select
 from ip_mcmc_tpu.utils.struct import pytree_dataclass
 
 

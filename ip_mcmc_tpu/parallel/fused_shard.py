@@ -15,8 +15,6 @@ shard with seed + d·SEED_STRIDE) is tested in tests/test_sharding.py.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
