@@ -4,6 +4,8 @@ from ip_mcmc_tpu.ops.fused_mcmc import (
     fused_mala_chain,
     fused_mala_chain_recorded,
     fused_pcn_chain,
+    fused_pcn_chain_dense,
+    fused_pcn_chain_dense_recorded,
     fused_pcn_chain_warm,
     fused_pcn_chain_warm_recorded,
     fused_pcn_chain_recorded,
@@ -19,6 +21,8 @@ __all__ = [
     "fused_mala_chain",
     "fused_mala_chain_recorded",
     "fused_pcn_chain",
+    "fused_pcn_chain_dense",
+    "fused_pcn_chain_dense_recorded",
     "fused_pcn_chain_warm",
     "fused_pcn_chain_warm_recorded",
     "fused_pcn_chain_recorded",

@@ -295,6 +295,33 @@ def _make_pcn_warm_step_builder(aux_dim):
     return builder
 
 
+def _pcn_dense_step_builder(pot, beta, mean, chol):
+    """pCN with a DENSE Gaussian prior N(mean, L Lᵀ): the proposal noise is
+    ξ = L z — one (d, d)·(d, block) MXU matmul per step (the fused analog of
+    ``distributions.Gaussian.sample_centered``)."""
+    contraction = jnp.sqrt(1.0 - beta * beta)
+
+    def init(pos):
+        return (pos, pot(pos))
+
+    def step(carry, rand_n, rand_u):
+        pos, phi = carry
+        m = mean[:, None]
+        xi = jnp.matmul(
+            chol, rand_n(pos.shape, 0), preferred_element_type=jnp.float32
+        )
+        prop = m + contraction * (pos - m) + beta * xi
+        phi_prop = pot(prop)
+        log_u = jnp.log(rand_u((1, pos.shape[1]), 2))[0]
+        accept = log_u < (phi - phi_prop)
+        return (
+            jnp.where(accept[None, :], prop, pos),
+            jnp.where(accept, phi_prop, phi),
+        ), accept[None, :]
+
+    return init, step
+
+
 def _make_ess_step_builder(max_shrink):
     """Elliptical slice sampling, fused form: the bracket-shrink loop is a
     FIXED-budget fori_loop with per-chain done masks (all lanes pay
@@ -525,6 +552,69 @@ def _run_fused_recorded(
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), positions, *packed)
     return final, acc[0], jnp.swapaxes(samples, 1, 2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("potential_fn", "n_steps", "block_chains")
+)
+def fused_pcn_chain_dense(
+    potential_fn,
+    positions,
+    prior_mean,
+    prior_chol,
+    beta,
+    seed,
+    n_steps=100,
+    block_chains=256,
+):
+    """pCN with a DENSE (correlated) Gaussian prior, fused in VMEM:
+    ``prior_chol`` is the lower Cholesky factor of the prior covariance.
+    Returns (final_positions, acceptance_rate_per_chain)."""
+    return _run_fused(
+        _pcn_dense_step_builder,
+        potential_fn,
+        positions,
+        [
+            jnp.float32(beta),
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_chol, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        block_chains,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_steps", "thin", "block_chains"),
+)
+def fused_pcn_chain_dense_recorded(
+    potential_fn,
+    positions,
+    prior_mean,
+    prior_chol,
+    beta,
+    seed,
+    n_steps=100,
+    thin=1,
+    block_chains=256,
+):
+    """Dense-prior pCN with in-kernel trajectory recording."""
+    return _run_fused_recorded(
+        _pcn_dense_step_builder,
+        potential_fn,
+        positions,
+        [
+            jnp.float32(beta),
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_chol, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        thin,
+        block_chains,
+    )
 
 
 @functools.partial(

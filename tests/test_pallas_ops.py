@@ -452,3 +452,37 @@ def test_warm_dst_matches_jacobi_acceptance():
                                float(np.asarray(ad).mean()), atol=0.05)
     with pytest.raises(ValueError):
         darcy.make_batched_misfit_warm(aux, y, 0.002, precond="amg")
+
+
+def test_fused_pcn_dense_prior_invariance_and_posterior():
+    """Dense-prior fused pCN: with Φ ≡ 0 the chain leaves the CORRELATED
+    prior invariant (cross-covariance reproduced); with a misfit it matches
+    the conjugate posterior."""
+    from ip_mcmc_tpu.ops import fused_pcn_chain_dense, fused_pcn_chain_dense_recorded
+
+    C = np.array([[2.0, 0.8], [0.8, 1.0]], np.float32)
+    L = np.linalg.cholesky(C)
+    mean = np.array([1.0, -0.5], np.float32)
+    zero_phi = lambda x: jnp.zeros((x.shape[1],), jnp.float32)
+
+    pos = jnp.zeros((1024, 2), jnp.float32) + jnp.asarray(mean)
+    pos, acc = fused_pcn_chain_dense(zero_phi, pos, prior_mean=mean,
+                                     prior_chol=L, beta=0.7, seed=0,
+                                     n_steps=400, block_chains=128)
+    p = np.asarray(pos)
+    assert float(np.asarray(acc).mean()) > 0.999  # Φ≡0: always accept
+    np.testing.assert_allclose(p.mean(axis=0), mean, atol=0.15)
+    np.testing.assert_allclose(np.cov(p.T), C, atol=0.3)
+
+    # conjugate: prior N(mean, C), y = u + N(0, I) noise
+    y = jnp.array([0.0, 0.0])
+    phi = lambda x: 0.5 * jnp.sum((y[:, None] - x) ** 2, axis=0)
+    H = np.linalg.inv(np.linalg.inv(C) + np.eye(2))
+    mu = H @ (np.linalg.inv(C) @ mean)
+    final, acc, s = fused_pcn_chain_dense_recorded(
+        phi, pos, prior_mean=mean, prior_chol=L, beta=0.5, seed=1,
+        n_steps=600, thin=1, block_chains=128)
+    flat = np.asarray(s[200:]).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), mu, atol=0.1)
+    np.testing.assert_allclose(np.cov(flat.T), H, atol=0.2)
+    np.testing.assert_allclose(np.asarray(s[-1]), np.asarray(final))
