@@ -397,9 +397,18 @@ def _flat_dst_preconditioner(n, a, precond_dtype=jnp.bfloat16):
             A, x.astype(precond_dtype), preferred_element_type=jnp.float32
         )
 
+    def mm_t(A, x):
+        """Aᵀ @ x WITHOUT materializing Aᵀ (dot_general with the lhs
+        contraction on dim 0 — Mosaic's transpose_lhs path). Materialized
+        transposes double the factors' VMEM footprint in-kernel."""
+        return jax.lax.dot_general(
+            A, x.astype(precond_dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     def inv_m(r):
         rt = mm(SI, mm(IS, r)) / denom
-        return mm(IS.T, mm(SI.T, rt))
+        return mm_t(IS, mm_t(SI, rt))
 
     return inv_m
 

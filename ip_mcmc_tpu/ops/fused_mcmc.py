@@ -215,6 +215,11 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps,
             jax.ShapeDtypeStruct((n, d), positions.dtype),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ),
+        # v5e has 128 MB VMEM/core; Mosaic's conservative 16 MB scoped
+        # default rejects big-grid kernels (n=32 DST factors + CG state)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), positions, *packed)
     return final, acc[0]
@@ -549,6 +554,10 @@ def _run_fused_recorded(
             pltpu.VMEM((d, block_chains), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # see _run_fused: lift Mosaic's conservative scoped-VMEM default
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), positions, *packed)
     return final, acc[0], jnp.swapaxes(samples, 1, 2)
