@@ -148,6 +148,7 @@ def make_batched_misfit(aux, data, noise_scale):
     data = jnp.asarray(data, jnp.float32)
     noise_scale = jnp.asarray(noise_scale, jnp.float32)
     basis = aux["scaled_basis"]
+    basis_t = jnp.asarray(np.asarray(basis).T)  # eager: no in-kernel transpose
     mean = aux["mean"]
     obs = np.asarray(aux["obs_indices"])
     dt = aux["dt"]
@@ -160,7 +161,7 @@ def make_batched_misfit(aux, data, noise_scale):
     obs_mat = jnp.asarray(obs_mat)
 
     def phi(U):  # (K, block) -> (block,)
-        state = mean[:, None] + basis.T @ U  # (cells, block), MXU matmul
+        state = mean[:, None] + basis_t @ U  # (cells, block), MXU matmul
 
         def body(_, state):
             # fori_loop, not scan: Mosaic only lowers index-style loops
