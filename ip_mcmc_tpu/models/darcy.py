@@ -544,8 +544,14 @@ def make_batched_misfit_warm(aux, data, noise_scale, cg_iters: int = 16,
         a = jnp.exp(log_a)
         t_h, t_v = _flat_transmissibilities(a, n, masks)
         b = jnp.broadcast_to(f, (n * n, block))
-        inv_diag = 1.0 / _operator_diagonal_flat(a, n, masks, t_h, t_v)
-        inv_m = _flat_dst_preconditioner(n, a) if precond == "dst" else None
+        if precond == "dst":
+            # NB: no Jacobi diagonal here — it would be dead work Mosaic
+            # still executes (the jaxpr isn't DCE'd inside the kernel)
+            inv_m = _flat_dst_preconditioner(n, a)
+            inv_diag = None
+        else:
+            inv_m = None
+            inv_diag = 1.0 / _operator_diagonal_flat(a, n, masks, t_h, t_v)
         x = _cg_flat(a, b, n, masks, t_h, t_v, inv_diag, cg_iters, x0=x0,
                      inv_m=inv_m)
         pred = obs_mat @ x
