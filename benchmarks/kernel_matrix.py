@@ -52,7 +52,9 @@ def main():
 
     phi_cold = darcy.make_batched_misfit(aux, y, NOISE)
     phi_diff = darcy.make_batched_misfit(aux, y, NOISE, differentiable=True)
-    phi_warm, aux_dim = darcy.make_batched_misfit_warm(aux, y, NOISE, cg_iters=16)
+    phi_warm, aux_dim = darcy.make_batched_misfit_warm(
+        aux, y, NOISE, cg_iters=6, precond="dst"  # the headline configuration
+    )
     phi_post = lambda U: phi_diff(U) + 0.5 * jnp.sum(U * U, axis=0)
 
     pm, ps = np.zeros(K), np.ones(K)
@@ -66,8 +68,8 @@ def main():
     kernels = {
         "pcn_cold48": (ops.fused_pcn_chain, ops.fused_pcn_chain_recorded,
                        phi_cold, prior_kw(dict(beta=0.08))),
-        "pcn_warm16": (ops.fused_pcn_chain_warm, ops.fused_pcn_chain_warm_recorded,
-                       phi_warm, prior_kw(dict(beta=0.08, aux_dim=aux_dim))),
+        "pcn_warm_dst6": (ops.fused_pcn_chain_warm, ops.fused_pcn_chain_warm_recorded,
+                          phi_warm, prior_kw(dict(beta=0.08, aux_dim=aux_dim))),
         "mala_adjoint": (ops.fused_mala_chain, ops.fused_mala_chain_recorded,
                          phi_post, dict(step_size=0.012)),
         "ess_slice": (ops.fused_ess_chain, ops.fused_ess_chain_recorded,
