@@ -300,6 +300,76 @@ def _make_pcn_warm_step_builder(aux_dim):
     return builder
 
 
+def _make_fes_step_builder(n_low_modes, stretch_a):
+    """Fused functional ensemble sampler (see kernels/ensemble.py for the
+    algorithm): each BLOCK of chains is one walker ensemble living on the
+    VPU lanes. Red-black sub-steps alternate over lane parity; the affine
+    partner is selected by a DYNAMIC ODD lane rotation (``pltpu.roll`` —
+    Mosaic's in-register rotate; an odd shift guarantees the partner has the
+    opposite parity, i.e. is FIXED during the sub-step). Affine stretch on
+    the first ``n_low_modes`` whitened rows, pCN on the complement:
+    3 potential evaluations per step."""
+    M = n_low_modes
+    a = stretch_a
+
+    def builder(pot, pcn_beta, mean, scale):
+        contraction = jnp.sqrt(1.0 - pcn_beta * pcn_beta)
+
+        def init(pos):
+            return (pos, pot(pos))
+
+        def step(carry, rand_n, rand_u):
+            pos, phi = carry
+            d, block = pos.shape
+            m = mean[:, None]
+            s = scale[:, None]
+            low = (
+                jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0) < M
+            ).astype(pos.dtype)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)[0]
+            w = (pos - m) / s
+
+            for sub, tag0 in ((0, 32), (1, 40)):
+                u_s = rand_u((1, 1), tag0)[0, 0]
+                shift = (
+                    jnp.floor(u_s * (block // 2)).astype(jnp.int32) * 2 + 1
+                )
+                partner = pltpu.roll(w, shift, 1)
+                uz = rand_u((1, block), tag0 + 2)[0]
+                z = jnp.square((a - 1.0) * uz + 1.0) / a  # g(z) ∝ 1/√z
+                w_prop = jnp.where(
+                    low > 0, partner + z[None, :] * (w - partner), w
+                )
+                phi_p = pot(m + s * w_prop)
+                d_prior = 0.5 * jnp.sum(
+                    low * (jnp.square(w_prop) - jnp.square(w)), axis=0
+                )
+                log_ratio = (M - 1) * jnp.log(z) - (phi_p - phi) - d_prior
+                log_ratio = jnp.where(
+                    jnp.isnan(log_ratio), -jnp.inf, log_ratio
+                )
+                log_u = jnp.log(rand_u((1, block), tag0 + 4)[0])
+                acc = (lane % 2 == sub) & (log_u < log_ratio)
+                w = jnp.where(acc[None, :], w_prop, w)
+                phi = jnp.where(acc, phi_p, phi)
+
+            # pCN on the complement rows (prior-reversible: only Φ enters)
+            xi = rand_n((d, block), 48)
+            w_prop = jnp.where(
+                low > 0, w, contraction * w + pcn_beta * xi
+            )
+            phi_p = pot(m + s * w_prop)
+            log_u = jnp.log(rand_u((1, block), 52)[0])
+            acc = log_u < (phi - phi_p)
+            w = jnp.where(acc[None, :], w_prop, w)
+            phi = jnp.where(acc, phi_p, phi)
+            return (m + s * w, phi), acc[None, :]
+
+        return init, step
+
+    return builder
+
+
 def _pcn_dense_step_builder(pot, beta, mean, chol):
     """pCN with a DENSE Gaussian prior N(mean, L Lᵀ): the proposal noise is
     ξ = L z — one (d, d)·(d, block) MXU matmul per step (the fused analog of
@@ -561,6 +631,78 @@ def _run_fused_recorded(
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), positions, *packed)
     return final, acc[0], jnp.swapaxes(samples, 1, 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_low_modes", "n_steps", "stretch_a",
+                     "block_chains"),
+)
+def fused_fes_chain(
+    potential_fn,
+    positions,
+    prior_mean,
+    prior_scale,
+    n_low_modes,
+    seed,
+    pcn_beta=0.2,
+    stretch_a=2.0,
+    n_steps=100,
+    block_chains=256,
+):
+    """Fused functional ensemble sampler: affine-invariant stretch moves on
+    the first ``n_low_modes`` whitened coordinates (partner = dynamic odd
+    lane rotation within the block-ensemble) + pCN complement, entirely in
+    VMEM. Each block of ``block_chains`` lanes is one interacting walker
+    ensemble. Returns (final_positions, pCN-move acceptance per chain)."""
+    return _run_fused(
+        _make_fes_step_builder(n_low_modes, stretch_a),
+        potential_fn,
+        positions,
+        [
+            jnp.float32(pcn_beta),
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_scale, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        block_chains,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_low_modes", "n_steps", "thin",
+                     "stretch_a", "block_chains"),
+)
+def fused_fes_chain_recorded(
+    potential_fn,
+    positions,
+    prior_mean,
+    prior_scale,
+    n_low_modes,
+    seed,
+    pcn_beta=0.2,
+    stretch_a=2.0,
+    n_steps=100,
+    thin=1,
+    block_chains=256,
+):
+    """Fused FES with in-kernel trajectory recording."""
+    return _run_fused_recorded(
+        _make_fes_step_builder(n_low_modes, stretch_a),
+        potential_fn,
+        positions,
+        [
+            jnp.float32(pcn_beta),
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_scale, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        thin,
+        block_chains,
+    )
 
 
 @functools.partial(

@@ -486,3 +486,45 @@ def test_fused_pcn_dense_prior_invariance_and_posterior():
     np.testing.assert_allclose(flat.mean(axis=0), mu, atol=0.1)
     np.testing.assert_allclose(np.cov(flat.T), H, atol=0.2)
     np.testing.assert_allclose(np.asarray(s[-1]), np.asarray(final))
+
+
+class TestFusedFES:
+    """Fused functional ensemble sampler (dynamic lane-roll partners)."""
+
+    def _target(self):
+        C = np.array([[1.0, 0.9], [0.9, 1.0]], np.float32)
+        P = jnp.asarray(np.linalg.inv(C))
+        mu = jnp.array([0.7, -0.3])
+
+        def phi(x):  # posterior N(mu, C) under prior N(0, 9I)
+            d = x - mu[:, None]
+            return (0.5 * jnp.sum(d * (P @ d), axis=0)
+                    - 0.5 * jnp.sum(x * x, axis=0) / 9.0)
+
+        return phi, np.asarray(mu), C
+
+    def test_correlated_posterior_no_tuning(self):
+        """Affine invariance: the correlated posterior is matched with NO
+        covariance adaptation, including the 0.9 cross-correlation."""
+        from ip_mcmc_tpu.ops import fused_fes_chain
+
+        phi, mu, C = self._target()
+        pos = jax.random.normal(jax.random.key(0), (512, 2)) * 3.0
+        kw = dict(prior_mean=np.zeros(2), prior_scale=3.0 * np.ones(2),
+                  n_low_modes=2, block_chains=128)
+        for seed in (1, 2):
+            pos, acc = fused_fes_chain(phi, pos, seed=seed, n_steps=600, **kw)
+        p = np.asarray(pos)
+        np.testing.assert_allclose(p.mean(axis=0), mu, atol=0.08)
+        np.testing.assert_allclose(np.cov(p.T), C, atol=0.15)
+
+    def test_recorded_matches_endpoint(self):
+        from ip_mcmc_tpu.ops import fused_fes_chain_recorded
+
+        phi, *_ = self._target()
+        pos = jnp.zeros((256, 2), jnp.float32)
+        f, acc, s = fused_fes_chain_recorded(
+            phi, pos, prior_mean=np.zeros(2), prior_scale=3.0 * np.ones(2),
+            n_low_modes=2, seed=5, n_steps=12, thin=3, block_chains=128)
+        assert s.shape == (4, 256, 2)
+        np.testing.assert_allclose(np.asarray(s[-1]), np.asarray(f))
