@@ -322,6 +322,30 @@ def darcy_ess_fused() -> Problem:
 
 
 @register
+def darcy_fes_fused() -> Problem:
+    """Fused functional ensemble sampler on Darcy: affine stretch moves on
+    the 8 leading KL modes (lane-roll partners within each block-ensemble)
+    + pCN complement — self-tunes to posterior correlations."""
+    phi, prior, y, u_true, phi_batched = _darcy_problem()
+    return Problem(
+        name="darcy_fes_fused",
+        dim=64,
+        prior=prior,
+        potential_fn=phi,
+        kernel="fes",
+        kernel_params={"fused": True, "n_low_modes": 8, "pcn_beta": 0.08,
+                       "block_chains": 256},
+        n_chains=4096,
+        n_samples=400,
+        burn_in=300,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="block = one walker ensemble; 3 misfit evals/step",
+        batched_potential_fn=phi_batched,
+    )
+
+
+@register
 def darcy_mala_fused() -> Problem:
     """Fused-Pallas MALA on Darcy: gradient-based proposals with the ADJOINT
     CG solve inside the kernel (darcy.make_batched_misfit differentiable=True

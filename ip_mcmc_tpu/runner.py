@@ -157,6 +157,11 @@ def run_problem(
         return _run_chees(problem, key, n_chains, n_samples, metrics_log)
 
     if problem.kernel == "fes":
+        if (
+            problem.kernel_params.get("fused")
+            and problem.batched_potential_fn is not None
+        ):
+            return _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=mesh)
         return _run_fes(problem, key, n_chains, n_samples)
 
     if problem.kernel == "smc":
@@ -268,7 +273,14 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
     pm = np.asarray(problem.prior.mean)
     ps = np.asarray(problem.prior.scale)
 
-    if problem.kernel == "elliptical":
+    if problem.kernel == "fes":
+        run_kw = dict(prior_mean=pm, prior_scale=ps,
+                      n_low_modes=kp.get("n_low_modes", min(8, problem.dim)),
+                      pcn_beta=kp.get("pcn_beta", 0.2),
+                      stretch_a=kp.get("stretch_a", 2.0))
+        chain, chain_rec = ops.fused_fes_chain, ops.fused_fes_chain_recorded
+        phi_full = phi_b
+    elif problem.kernel == "elliptical":
         run_kw = dict(prior_mean=pm, prior_scale=ps,
                       max_shrink=kp.get("max_shrink", 8))
         chain, chain_rec = ops.fused_ess_chain, ops.fused_ess_chain_recorded
