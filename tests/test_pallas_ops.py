@@ -528,3 +528,47 @@ class TestFusedFES:
             n_low_modes=2, seed=5, n_steps=12, thin=3, block_chains=128)
         assert s.shape == (4, 256, 2)
         np.testing.assert_allclose(np.asarray(s[-1]), np.asarray(f))
+
+
+def test_warm_dst_posterior_matches_scan_path():
+    """END-TO-END exactness: posterior moments from the warm-DST fused
+    kernel match the scan+vmap pCN path (exact solver) on the same Darcy
+    posterior within MC error — the solver approximation does not bias the
+    posterior."""
+    from ip_mcmc_tpu import distributions as dist, driver, potentials
+    from ip_mcmc_tpu.kernels import pcn as pcn_kernel
+    from ip_mcmc_tpu.models import darcy
+    from ip_mcmc_tpu.ops import fused_pcn_chain_warm, fused_pcn_chain_warm_recorded
+
+    fwd, aux = darcy.make_darcy_forward(n_grid=8, n_modes_per_dim=4,
+                                        alpha=2.0, field_scale=10.0)
+    K = 16
+    noise = dist.DiagGaussian(mean=jnp.zeros(16), scale=0.01 * jnp.ones(16))
+    prior = dist.DiagGaussian(mean=jnp.zeros(K), scale=jnp.ones(K))
+    u_true = jax.random.normal(jax.random.key(300), (K,))
+    y = fwd(u_true) + noise.sample(jax.random.key(301))
+
+    # scan path (exact custom_linear_solve CG)
+    phi = potentials.misfit_potential(fwd, y, noise)
+    kern = pcn_kernel.build_kernel(phi, prior, beta=0.12)
+    state = driver.init_chains(pcn_kernel.init,
+                               prior.sample(jax.random.key(1), (128,)), phi)
+    _, s_scan, _ = driver.sample_chains(kern, state, jax.random.key(2),
+                                        n_samples=600, burn_in=200)
+    m_scan = np.asarray(s_scan).reshape(-1, K).mean(0)
+
+    # fused warm-DST path
+    warm, ad = darcy.make_batched_misfit_warm(aux, y, 0.01, cg_iters=4,
+                                              precond="dst")
+    pos = prior.sample(jax.random.key(3), (128,))
+    pos, _ = fused_pcn_chain_warm(warm, pos, prior_mean=np.zeros(K),
+                                  prior_scale=np.ones(K), beta=0.12, seed=4,
+                                  n_steps=200, aux_dim=ad, block_chains=128)
+    _, _, s_f = fused_pcn_chain_warm_recorded(
+        warm, pos, prior_mean=np.zeros(K), prior_scale=np.ones(K), beta=0.12,
+        seed=5, n_steps=600, thin=1, aux_dim=ad, block_chains=128)
+    m_fused = np.asarray(s_f).reshape(-1, K).mean(0)
+
+    # two INDEPENDENT 128-chain runs: se per coordinate ~0.04-0.05 after
+    # autocorrelation; 0.18 ≈ 3σ on the difference
+    np.testing.assert_allclose(m_fused, m_scan, atol=0.18)
