@@ -561,6 +561,77 @@ def make_batched_misfit_warm(aux, data, noise_scale, cg_iters: int = 16,
     return phi2, n * n
 
 
+def make_batched_misfit_mala_warm(aux, data, noise_scale, cg_iters: int = 8,
+                                  log_a_mean: float = 0.0,
+                                  precond: str = "dst"):
+    """Warm-started value-AND-GRADIENT batched misfit for fused MALA:
+    ``pag(U, aux0) -> (phi, grad, aux_out)`` where aux0 stacks the previous
+    accepted state's forward solution x AND adjoint solution λ
+    ((2n², block)); both solves warm-start from them, cutting the two CG
+    loops to ``cg_iters`` each (vs 48 cold). The gradient is the explicit
+    adjoint method (same math as make_batched_misfit(differentiable=True)'s
+    custom_vjp, written out so the solutions can be carried).
+
+    Returns (pag, aux_dim = 2n²).
+    """
+    data = jnp.asarray(data, jnp.float32)
+    noise_scale = jnp.asarray(noise_scale, jnp.float32)
+    basis = aux["scaled_basis"]
+    basis_t = jnp.asarray(np.asarray(basis).T)
+    obs = np.asarray(aux["obs_indices"])
+    f = jnp.asarray(aux["source"]).reshape(-1, 1)
+    n = int(aux["n_grid"])
+    masks = _flat_masks(n)
+    obs_mat = np.zeros((len(obs), n * n), np.float32)
+    obs_mat[np.arange(len(obs)), obs] = 1.0
+    obs_mat_t = jnp.asarray(obs_mat.T.copy())
+    obs_mat = jnp.asarray(obs_mat)
+    if precond not in ("jacobi", "dst"):
+        raise ValueError(f"precond must be 'jacobi' or 'dst', got {precond!r}")
+    N = n * n
+
+    def pag(U, aux0):  # (K, block), (2n², block)
+        block = U.shape[1]
+        log_a = log_a_mean + basis_t @ U
+        a = jnp.exp(log_a)
+        t_h, t_v = _flat_transmissibilities(a, n, masks)
+        if precond == "dst":
+            inv_m = _flat_dst_preconditioner(n, a)
+            inv_diag = None
+        else:
+            inv_m = None
+            inv_diag = 1.0 / _operator_diagonal_flat(a, n, masks, t_h, t_v)
+        b = jnp.broadcast_to(f, (N, block))
+        x = _cg_flat(a, b, n, masks, t_h, t_v, inv_diag, cg_iters,
+                     x0=aux0[:N], inv_m=inv_m)
+        pred = obs_mat @ x
+        res = (data[:, None] - pred) / noise_scale
+        phi = 0.5 * jnp.sum(res * res, axis=0)
+
+        # adjoint solve, warm-started from the carried λ
+        dphi_dx = -(obs_mat_t @ (res / noise_scale))
+        lam = _cg_flat(a, dphi_dx, n, masks, t_h, t_v, inv_diag, cg_iters,
+                       x0=aux0[N:], inv_m=inv_m)
+        # ∂Φ/∂a = −∇_a[λᵀ A(a) x] (see make_batched_misfit's phi_bwd)
+        h2 = float(n * n)
+        a_r, a_d = _shift_up(a, 1), _shift_up(a, n)
+        den_h = 1.0 / (a + a_r + 1e-38)
+        den_v = 1.0 / (a + a_d + 1e-38)
+        s_h = (x - _shift_up(x, 1)) * (lam - _shift_up(lam, 1)) * masks["right"]
+        s_v = (x - _shift_up(x, n)) * (lam - _shift_up(lam, n)) * masks["down"]
+        g_a = (
+            2.0 * h2 * jnp.square(a_r * den_h) * s_h
+            + _shift_down(2.0 * h2 * jnp.square(a * den_h) * s_h, 1)
+            + 2.0 * h2 * jnp.square(a_d * den_v) * s_v
+            + _shift_down(2.0 * h2 * jnp.square(a * den_v) * s_v, n)
+            + 2.0 * h2 * x * lam * masks["edge"]
+        )
+        grad = basis @ (a * (-g_a))  # (K, block)
+        return phi, grad, jnp.concatenate([x, lam], axis=0)
+
+    return pag, 2 * N
+
+
 def make_pod_surrogate(aux, data, noise_scale, key, n_snapshots: int = 64,
                        rank: int = 20, log_a_mean: float = 0.0,
                        prior_scale=None):

@@ -449,6 +449,58 @@ def _make_ess_step_builder(max_shrink):
     return builder
 
 
+def _make_mala_warm_step_builder(aux_dim):
+    """MALA whose potential is an EXPLICIT value-and-grad with a carried
+    solver aux (``pag(U, aux) -> (phi_misfit, grad_misfit, aux_out)`` — the
+    Darcy warm forward+adjoint pair). The whitened prior is folded in here
+    (misfit potentials carry no prior), so the target is the full posterior.
+    ``pm``/``ps`` arrive as kernel params (closures would be captured
+    constants, which Pallas rejects)."""
+
+    def builder(pag, step_size, pm, ps):
+        eps = step_size
+
+        def full(pos, aux):
+            phi_m, g_m, aux_out = pag(pos, aux)
+            z = (pos - pm[:, None]) / ps[:, None]
+            phi = phi_m + 0.5 * jnp.sum(z * z, axis=0)
+            g = g_m + z / ps[:, None]
+            return phi, g, aux_out
+
+        def init(pos):
+            aux0 = jnp.zeros((aux_dim, pos.shape[1]), pos.dtype)
+            phi, g, aux0 = full(pos, aux0)
+            return (pos, phi, g, aux0)
+
+        def step(carry, rand_n, rand_u):
+            pos, phi, g, aux = carry
+            xi = rand_n(pos.shape, 0)
+            half_eps2 = 0.5 * eps * eps
+            mean_fwd = pos - half_eps2 * g
+            prop = mean_fwd + eps * xi
+            phi_p, g_p, aux_p = full(prop, aux)
+            mean_rev = prop - half_eps2 * g_p
+            inv2e2 = 1.0 / (2.0 * eps * eps)
+            d_rev = pos - mean_rev
+            log_q_rev = -jnp.sum(d_rev * d_rev, axis=0) * inv2e2
+            log_q_fwd = -jnp.sum(xi * xi, axis=0) * 0.5
+            log_ratio = (phi - phi_p) + log_q_rev - log_q_fwd
+            log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+            log_u = jnp.log(rand_u((1, pos.shape[1]), 2))[0]
+            accept = log_u < log_ratio
+            acc2 = accept[None, :]
+            return (
+                jnp.where(acc2, prop, pos),
+                jnp.where(accept, phi_p, phi),
+                jnp.where(acc2, g_p, g),
+                jnp.where(acc2, aux_p, aux),
+            ), acc2
+
+        return init, step
+
+    return builder
+
+
 def _mala_step_builder(pot_and_grad, step_size):
     """MALA on exp(−Φ): the driver pre-traces value-and-grad of the batched
     potential (``needs_grad`` flag → ``_trace_potential``), so ``pot_and_
@@ -631,6 +683,82 @@ def _run_fused_recorded(
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), positions, *packed)
     return final, acc[0], jnp.swapaxes(samples, 1, 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_steps", "aux_dim", "block_chains"),
+)
+def fused_mala_chain_warm(
+    potential_fn,
+    positions,
+    prior_mean,
+    prior_scale,
+    step_size,
+    seed,
+    n_steps=100,
+    aux_dim=None,
+    block_chains=256,
+):
+    """Warm-started fused MALA: ``potential_fn(U, aux) -> (phi_misfit,
+    grad_misfit, aux)`` carries the forward AND adjoint solver solutions
+    (``darcy.make_batched_misfit_mala_warm``) — both CG loops warm-start
+    from the current state's solves. The whitened prior (prior_mean/scale)
+    is folded into the target internally. Returns
+    (final_positions, acceptance_rate_per_chain)."""
+    if aux_dim is None:
+        raise ValueError("fused_mala_chain_warm requires aux_dim")
+    return _run_fused(
+        _make_mala_warm_step_builder(aux_dim),
+        potential_fn,
+        positions,
+        [
+            jnp.float32(step_size),
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_scale, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        block_chains,
+        aux_dim=aux_dim,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_steps", "thin", "aux_dim",
+                     "block_chains"),
+)
+def fused_mala_chain_warm_recorded(
+    potential_fn,
+    positions,
+    prior_mean,
+    prior_scale,
+    step_size,
+    seed,
+    n_steps=100,
+    thin=1,
+    aux_dim=None,
+    block_chains=256,
+):
+    """Warm-started fused MALA with in-kernel trajectory recording."""
+    if aux_dim is None:
+        raise ValueError("fused_mala_chain_warm_recorded requires aux_dim")
+    return _run_fused_recorded(
+        _make_mala_warm_step_builder(aux_dim),
+        potential_fn,
+        positions,
+        [
+            jnp.float32(step_size),
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_scale, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        thin,
+        block_chains,
+        aux_dim=aux_dim,
+    )
 
 
 @functools.partial(

@@ -572,3 +572,75 @@ def test_warm_dst_posterior_matches_scan_path():
     # two INDEPENDENT 128-chain runs: se per coordinate ~0.04-0.05 after
     # autocorrelation; 0.18 ≈ 3σ on the difference
     np.testing.assert_allclose(m_fused, m_scan, atol=0.18)
+
+
+class TestFusedMalaWarm:
+    def _setup(self):
+        from ip_mcmc_tpu import distributions as dist
+        from ip_mcmc_tpu.models import darcy
+
+        fwd, aux = darcy.make_darcy_forward(n_grid=8, n_modes_per_dim=4,
+                                            alpha=2.0, field_scale=10.0)
+        noise = dist.DiagGaussian(mean=jnp.zeros(16), scale=0.01 * jnp.ones(16))
+        u_true = jax.random.normal(jax.random.key(300), (16,))
+        y = fwd(u_true) + noise.sample(jax.random.key(301))
+        return aux, y
+
+    def test_explicit_adjoint_matches_custom_vjp(self):
+        """The hand-written value-and-grad (carried-aux form) reproduces the
+        custom_vjp adjoint bit-for-bit at converged iteration counts."""
+        from ip_mcmc_tpu.models import darcy
+
+        aux, y = self._setup()
+        pag, ad = darcy.make_batched_misfit_mala_warm(aux, y, 0.01,
+                                                      cg_iters=60,
+                                                      precond="jacobi")
+        phi_ad = darcy.make_batched_misfit(aux, y, 0.01, cg_iters=60,
+                                           differentiable=True)
+        U = jax.random.normal(jax.random.key(7), (16, 4)) * 0.4
+        phi1, g1, aux_out = pag(U, jnp.zeros((ad, 4), jnp.float32))
+        np.testing.assert_allclose(np.asarray(phi1), np.asarray(phi_ad(U)),
+                                   rtol=1e-5)
+        g2 = jax.grad(lambda u: jnp.sum(phi_ad(u)))(U)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-5)
+        assert aux_out.shape == (ad, 4)
+
+    def test_warm_matches_cold_mala_acceptance(self):
+        from ip_mcmc_tpu.models import darcy
+        from ip_mcmc_tpu.ops import fused_mala_chain, fused_mala_chain_warm
+
+        aux, y = self._setup()
+        K = 16
+        phi_d = darcy.make_batched_misfit(aux, y, 0.01, cg_iters=40,
+                                          differentiable=True)
+        phi_post = lambda U: phi_d(U) + 0.5 * jnp.sum(U * U, axis=0)
+        pag, ad = darcy.make_batched_misfit_mala_warm(aux, y, 0.01,
+                                                      cg_iters=4,
+                                                      precond="dst")
+        pos = jax.random.normal(jax.random.key(1), (64, K)) * 0.2
+        _, ac = fused_mala_chain(phi_post, pos, step_size=0.05, seed=5,
+                                 n_steps=30, block_chains=64)
+        _, aw = fused_mala_chain_warm(pag, pos, prior_mean=np.zeros(K),
+                                      prior_scale=np.ones(K), step_size=0.05,
+                                      seed=5, n_steps=30, aux_dim=ad,
+                                      block_chains=64)
+        np.testing.assert_allclose(float(np.asarray(ac).mean()),
+                                   float(np.asarray(aw).mean()), atol=0.06)
+
+    def test_recorded_matches_endpoint(self):
+        from ip_mcmc_tpu.models import darcy
+        from ip_mcmc_tpu.ops import fused_mala_chain_warm_recorded
+
+        aux, y = self._setup()
+        K = 16
+        pag, ad = darcy.make_batched_misfit_mala_warm(aux, y, 0.01,
+                                                      cg_iters=4,
+                                                      precond="dst")
+        pos = jax.random.normal(jax.random.key(2), (64, K)) * 0.2
+        f, a, s = fused_mala_chain_warm_recorded(
+            pag, pos, prior_mean=np.zeros(K), prior_scale=np.ones(K),
+            step_size=0.05, seed=6, n_steps=12, thin=3, aux_dim=ad,
+            block_chains=64)
+        assert s.shape == (4, 64, K)
+        np.testing.assert_allclose(np.asarray(s[-1]), np.asarray(f))
