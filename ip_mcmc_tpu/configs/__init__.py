@@ -373,6 +373,36 @@ def darcy_mala_fused() -> Problem:
 
 
 @register
+def darcy_mala_warm() -> Problem:
+    """Warm fused MALA on Darcy: forward AND adjoint CG solutions carried
+    in the kernel state, DST-preconditioned (6+6 iterations — 2.3x over the
+    cold adjoint)."""
+    phi, prior, y, u_true, phi_batched = _darcy_problem()
+    _, aux = darcy.make_darcy_forward(
+        n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+    )
+    warm = darcy.make_batched_misfit_mala_warm(aux, y, 0.002, cg_iters=6,
+                                               precond="dst")
+    return Problem(
+        name="darcy_mala_warm",
+        dim=64,
+        prior=prior,
+        potential_fn=phi,
+        kernel="mala",
+        kernel_params={"fused": True, "warm": True, "step_size": 0.012,
+                       "block_chains": 256},
+        n_chains=4096,
+        n_samples=400,
+        burn_in=300,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="explicit adjoint, warm forward+adjoint solves",
+        batched_potential_fn=phi_batched,
+        batched_warm_potential=warm,
+    )
+
+
+@register
 def darcy_da_pcn() -> Problem:
     """Delayed-acceptance pCN on Darcy: subchain against a LOOSE-CG surrogate
     (8 Jacobi-PCG iterations vs the exact 48), one exact correction per

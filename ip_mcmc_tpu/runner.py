@@ -296,6 +296,19 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
         else:
             chain, chain_rec = ops.fused_pcn_chain, ops.fused_pcn_chain_recorded
             phi_full = phi_b
+    elif (
+        problem.kernel == "mala"
+        and kp.get("warm")
+        and problem.batched_warm_potential is not None
+    ):
+        # warm MALA: forward+adjoint solutions in the kernel state; the
+        # warm potential is a value-and-grad pag(U, aux) and the prior is
+        # folded in by the step builder itself
+        phi_full, aux_dim = problem.batched_warm_potential
+        run_kw = dict(prior_mean=pm, prior_scale=ps,
+                      step_size=kp.get("step_size", 0.05), aux_dim=aux_dim)
+        chain = ops.fused_mala_chain_warm
+        chain_rec = ops.fused_mala_chain_warm_recorded
     else:
         pm_j, ps_j = jnp.asarray(pm), jnp.asarray(ps)
 

@@ -114,3 +114,12 @@ def test_darcy_fes_fused_config_runs():
     m = runner.run_problem(p, key=jax.random.key(0), n_chains=64, n_samples=8)
     assert m["kernel"] == "fes(fused)"
     assert np.isfinite(m["min_ess"]) and m["min_ess"] > 0
+
+
+def test_darcy_mala_warm_config_runs():
+    p = configs.build("darcy_mala_warm")
+    p.kernel_params["block_chains"] = 64
+    p.burn_in = 4
+    m = runner.run_problem(p, key=jax.random.key(0), n_chains=64, n_samples=8)
+    assert m["kernel"] == "mala(fused)"
+    assert 0.0 < m["accept_rate"] <= 1.0
