@@ -55,6 +55,9 @@ def main():
     phi_warm, aux_dim = darcy.make_batched_misfit_warm(
         aux, y, NOISE, cg_iters=6, precond="dst"  # the headline configuration
     )
+    pag, mala_aux = darcy.make_batched_misfit_mala_warm(
+        aux, y, NOISE, cg_iters=6, precond="dst"
+    )
     phi_post = lambda U: phi_diff(U) + 0.5 * jnp.sum(U * U, axis=0)
 
     pm, ps = np.zeros(K), np.ones(K)
@@ -72,6 +75,9 @@ def main():
                           phi_warm, prior_kw(dict(beta=0.08, aux_dim=aux_dim))),
         "mala_adjoint": (ops.fused_mala_chain, ops.fused_mala_chain_recorded,
                          phi_post, dict(step_size=0.012)),
+        "mala_warm_dst6": (ops.fused_mala_chain_warm,
+                           ops.fused_mala_chain_warm_recorded, pag,
+                           prior_kw(dict(step_size=0.012, aux_dim=mala_aux))),
         "ess_slice": (ops.fused_ess_chain, ops.fused_ess_chain_recorded,
                       phi_cold, prior_kw(dict(max_shrink=6))),
     }
