@@ -142,9 +142,15 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps,
     is_scalar = [len(s) == 0 for s in orig_shapes]
     n_params = len(params)
 
+    extra_out = getattr(step_builder, "extra_out", None)
+
     def kernel(seed_ref, pos_ref, *rest):
         extra_refs = rest[: len(extras)]
-        out_ref, acc_ref = rest[len(extras) :]
+        if extra_out is None:
+            out_ref, acc_ref = rest[len(extras) :]
+            xout_ref = None
+        else:
+            out_ref, acc_ref, xout_ref = rest[len(extras) :]
         vals = []
         for er, s, sc in zip(extra_refs, orig_shapes, is_scalar):
             if sc:
@@ -182,6 +188,8 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps,
         )
         out_ref[:] = carry_f[0].T
         acc_ref[:] = acc / n_steps
+        if extra_out is not None:
+            xout_ref[:] = extra_out(carry_f)
 
     grid = (n // block_chains,)
     extra_specs = [
@@ -193,7 +201,23 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps,
         for p, sc in zip(packed, is_scalar)
     ]
     interpret = jax.default_backend() != "tpu"
-    final, acc = pl.pallas_call(
+    row_spec = pl.BlockSpec(
+        (1, block_chains), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    out_specs = (
+        pl.BlockSpec(
+            (block_chains, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        row_spec,
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((n, d), positions.dtype),
+        jax.ShapeDtypeStruct((1, n), jnp.float32),
+    )
+    if extra_out is not None:
+        out_specs += (row_spec,)
+        out_shape += (jax.ShapeDtypeStruct((1, n), jnp.float32),)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -203,18 +227,8 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps,
             ),
             *extra_specs,
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (block_chains, d), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, block_chains), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, d), positions.dtype),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         # v5e has 128 MB VMEM/core; Mosaic's conservative 16 MB scoped
         # default rejects big-grid kernels (n=32 DST factors + CG state)
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -222,7 +236,9 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps,
         ),
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), positions, *packed)
-    return final, acc[0]
+    if extra_out is not None:
+        return outs[0], outs[1][0], outs[2][0]
+    return outs[0], outs[1][0]
 
 
 def _rwm_step_builder(pot, step_size):
@@ -297,6 +313,57 @@ def _make_pcn_warm_step_builder(aux_dim):
 
         return init, step
 
+    return builder
+
+
+def _make_pcn_adapt_step_builder(target_accept, gain):
+    """pCN with IN-KERNEL β adaptation: Robbins–Monro on the block-pooled
+    acceptance probability (the cross-chain adaptation signal, pooled over
+    the VPU lanes — the fused analog of ``adapt.warmup_pcn``). log-β rides
+    the carry as a (1, block) row (broadcast value); γ_i = gain/(1+i)^0.6
+    via a step counter also carried. Burn-in only — freeze the returned β
+    for sampling (detailed balance)."""
+
+    def builder(pot, beta0, mean, scale):
+        def init(pos):
+            block = pos.shape[1]
+            return (
+                pos,
+                pot(pos),
+                jnp.full((1, block), jnp.log(beta0), jnp.float32),
+                jnp.zeros((1, block), jnp.float32),  # step counter
+            )
+
+        def step(carry, rand_n, rand_u):
+            pos, phi, log_beta, i = carry
+            beta = jnp.exp(log_beta[0, 0])
+            contraction = jnp.sqrt(1.0 - beta * beta)
+            m = mean[:, None]
+            xi = scale[:, None] * rand_n(pos.shape, 0)
+            prop = m + contraction * (pos - m) + beta * xi
+            phi_prop = pot(prop)
+            log_ratio = jnp.minimum(phi - phi_prop, 0.0)
+            accept_prob = jnp.exp(log_ratio)
+            log_u = jnp.log(rand_u((1, pos.shape[1]), 2))[0]
+            accept = log_u < log_ratio
+            # Robbins–Monro on pooled acceptance; clamp β ∈ (1e-4, 1).
+            # (1+i)^0.6 via exp/log — Mosaic has no powf lowering
+            gamma = gain * jnp.exp(-0.6 * jnp.log(1.0 + i[0, 0]))
+            pooled = jnp.mean(accept_prob)
+            log_beta = jnp.clip(
+                log_beta + gamma * (pooled - target_accept),
+                jnp.log(1e-4), jnp.log(0.999),
+            )
+            return (
+                jnp.where(accept[None, :], prop, pos),
+                jnp.where(accept, phi_prop, phi),
+                log_beta,
+                i + 1.0,
+            ), accept[None, :]
+
+        return init, step
+
+    builder.extra_out = lambda carry: jnp.exp(carry[2])  # adapted β per lane
     return builder
 
 
@@ -683,6 +750,43 @@ def _run_fused_recorded(
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), positions, *packed)
     return final, acc[0], jnp.swapaxes(samples, 1, 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_steps", "target_accept", "gain",
+                     "block_chains"),
+)
+def fused_pcn_chain_adapt(
+    potential_fn,
+    positions,
+    prior_mean,
+    prior_scale,
+    beta0,
+    seed,
+    n_steps=300,
+    target_accept=0.3,
+    gain=0.5,
+    block_chains=256,
+):
+    """Burn-in pCN with IN-KERNEL β adaptation (Robbins–Monro on the
+    block-pooled acceptance probability — the fused analog of
+    ``adapt.warmup_pcn``). Returns (positions, accept_rate, beta) with
+    ``beta`` per chain (constant within each block); freeze e.g.
+    ``float(beta.mean())`` for the sampling launch."""
+    return _run_fused(
+        _make_pcn_adapt_step_builder(target_accept, gain),
+        potential_fn,
+        positions,
+        [
+            jnp.float32(beta0),
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_scale, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        block_chains,
+    )
 
 
 @functools.partial(

@@ -644,3 +644,41 @@ class TestFusedMalaWarm:
             block_chains=64)
         assert s.shape == (4, 64, K)
         np.testing.assert_allclose(np.asarray(s[-1]), np.asarray(f))
+
+
+class TestFusedBetaAdaptation:
+    def test_adapts_down_to_target_on_sharp_likelihood(self):
+        """In-kernel Robbins–Monro β adaptation: frozen β reproduces the
+        target acceptance on a sharp 16-dim posterior."""
+        from ip_mcmc_tpu.ops import fused_pcn_chain, fused_pcn_chain_adapt
+
+        d = 16
+        y = jnp.linspace(-0.5, 0.5, d)
+        phi = lambda x: 0.5 * jnp.sum((y[:, None] - x) ** 2, axis=0) / 0.01
+        pos = jnp.broadcast_to(y[None, :], (512, d)).astype(jnp.float32)
+        pos2, acc, beta = fused_pcn_chain_adapt(
+            phi, pos, prior_mean=np.zeros(d), prior_scale=np.ones(d),
+            beta0=0.5, seed=0, n_steps=800, target_accept=0.3,
+            block_chains=128)
+        b = float(np.asarray(beta).mean())
+        assert 0.005 < b < 0.3  # adapted well below the 0.5 init
+        _, acc3 = fused_pcn_chain(
+            phi, pos2, prior_mean=np.zeros(d), prior_scale=np.ones(d),
+            beta=b, seed=1, n_steps=400, block_chains=128)
+        assert 0.2 < float(np.asarray(acc3).mean()) < 0.42
+
+    def test_caps_at_one_on_easy_target(self):
+        """Easy target where even β≈1 over-accepts: β must peg at the
+        ceiling, not blow past 1 (which would NaN the contraction)."""
+        from ip_mcmc_tpu.ops import fused_pcn_chain_adapt
+
+        y = jnp.array([1.0, 1.0])
+        phi = lambda x: 0.5 * jnp.sum((y[:, None] - x) ** 2, axis=0)
+        pos = jnp.zeros((256, 2), jnp.float32)
+        _, _, beta = fused_pcn_chain_adapt(
+            phi, pos, prior_mean=np.zeros(2), prior_scale=np.ones(2),
+            beta0=0.05, seed=0, n_steps=400, target_accept=0.3,
+            block_chains=128)
+        b = np.asarray(beta)
+        assert np.all(b <= 0.999 + 1e-6) and np.all(np.isfinite(b))
+        assert b.mean() > 0.9  # pushed up hard against the ceiling
