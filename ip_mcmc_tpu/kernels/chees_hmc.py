@@ -142,6 +142,12 @@ def batch_step(log_density_fn, state, key, step_size, trajectory_length,
 def chees_gradient(state, info, jitter_u):
     """Monte-Carlo ∂ChEES/∂τ over the chain axis (pmean-compatible).
 
+    ``state`` must be the PRE-step state: the Hoffman–Radul–Sountsov
+    estimator contrasts the proposal x' against the positions x the
+    trajectory STARTED from. Feeding the post-update state (where accepted
+    chains already hold x') partially cancels the ‖x−x̄‖² term against
+    ‖x'−x̄'‖² and weakens the gradient (advisor round-1 finding).
+
     Diverged trajectories (NaN/inf proposals — rejected by the MH test with
     probability 1) are masked out of the estimator: their accept_prob is 0
     but 0·NaN would still be NaN, and one bad chain would poison x̄'."""
@@ -210,6 +216,7 @@ def warmup_chees(
         tau = jnp.exp(adam.log_value)
         # ε is capped at τ: beyond it the (≥1-step) dynamics no longer
         # depends on ε and dual averaging would run away on easy targets
+        pre = st  # ChEES gradient contrasts proposals vs PRE-step positions
         st, info = batch_step(
             log_density_fn, st, key,
             step_size=jnp.minimum(da.current(das), tau),
@@ -217,7 +224,7 @@ def warmup_chees(
             jitter_u=u, inv_mass=inv_mass,
         )
         das = da.update(das, jnp.mean(info.accept_prob), target=target_accept)
-        adam = adam_ascend(adam, chees_gradient(st, info, u))
+        adam = adam_ascend(adam, chees_gradient(pre, info, u))
         if adapt_mass:
             inv_mass = jnp.var(st.positions, axis=0) + 1e-6
         return (st, das, adam, inv_mass), jnp.mean(info.accept_prob)

@@ -233,12 +233,32 @@ def build_mala_kernel(potential_fn, prior, betas, step_size=0.05):
 
 
 def betas_from_gaps(rho):
-    """Ladder parameterization: β_1 = 1, β_{t+1} = β_t·exp(−e^{ρ_t}).
-    Any real gap vector ρ (T−1,) gives a strictly decreasing ladder —
-    the unconstrained coordinates the adapter does Robbins–Monro in."""
+    """Free-bottom ladder parameterization: β_1 = 1, β_{t+1} = β_t·e^{−e^{ρ_t}}.
+    Any real gap vector ρ (T−1,) gives a strictly decreasing ladder. NOT used
+    by ``adapt_ladder`` (a free bottom makes equi-acceptance adaptation run
+    away: once β_t ≈ 0 a pair's swap rate saturates at 1 and no gap can pull
+    it down); kept for manual ladder construction."""
     return jnp.concatenate(
         [jnp.ones((1,), rho.dtype), jnp.exp(-jnp.cumsum(jnp.exp(rho)))]
     )
+
+
+def betas_from_shares(rho, beta_min):
+    """Fixed-endpoint ladder parameterization (the one ``adapt_ladder``
+    optimizes in): β_1 = 1 and β_T = beta_min are PINNED; the T−1 log-β gaps
+    split log(beta_min) in softmax(ρ) proportions,
+
+        log β = concat([0], cumsum(softmax(ρ)) · log beta_min).
+
+    Softmax is shift-invariant, so only the RELATIVE gap shares matter —
+    which is exactly the equi-acceptance degrees of freedom (Miasojedow–
+    Moulines–Vihola 2013 adapt the interior temperatures with endpoints
+    fixed for the same reason)."""
+    w = jax.nn.softmax(rho)
+    log_beta = jnp.concatenate(
+        [jnp.zeros((1,), rho.dtype), jnp.cumsum(w) * jnp.log(beta_min)]
+    )
+    return jnp.exp(log_beta)
 
 
 def adapt_ladder(
@@ -250,33 +270,42 @@ def adapt_ladder(
     num_steps=300,
     target_swap=0.4,
     pcn_step=0.25,
-    beta_min_init=0.05,
+    beta_min=0.05,
     gain=0.6,
 ):
-    """Swap-rate-targeted ladder adaptation (ROADMAP P2; Miasojedow–
-    Moulines–Vihola 2013 style): stochastic approximation on the log-gap
-    coordinates ρ so every adjacent pair's swap acceptance hits
-    ``target_swap`` — equalized swap rates maximize the round-trip rate of
-    states between the cold and hot ends.
+    """Equi-acceptance ladder adaptation with FIXED endpoints (ROADMAP P2;
+    Miasojedow–Moulines–Vihola 2013 style): β_1 = 1 and β_T = ``beta_min``
+    are pinned, and stochastic approximation on the softmax gap-share
+    coordinates ρ (see ``betas_from_shares``) EQUALIZES the adjacent-pair
+    swap acceptances — the equi-acceptance ladder maximizes the round-trip
+    rate between the cold and hot ends. (A free bottom rung is a runaway:
+    hot pairs whose rate saturates at 1 push β → 0 without ever reaching
+    the target; pinning β_T makes equalization always feasible.)
 
     Signal: the chain-averaged per-pair swap PROBABILITY min(1, e^{Δβ·ΔΦ})
     (Rao-Blackwellized — uses the probability, not the binary outcome).
-    Update: ρ_t += γ_k (swap_prob_t − target); γ_k = gain/(1+k)^0.6.
+    Update: ρ_t += γ_k (swap_prob_t − target), applied ONLY on steps where
+    the pair is actually attempted (parity alternation attempts each pair
+    every other step; updating on inactive steps would bias the equilibrium
+    per-attempt acceptance to 2·target — advisor round-1 finding). Softmax
+    shift-invariance means the common (rate − target) component cancels;
+    the equilibrium is EQUAL per-attempt rates, with ``target_swap`` only
+    centering the update. γ_k = gain/(1+k)^0.6.
 
     ``positions``: (n_chains, d) initial cold positions (replicated across
     the ladder). Returns (pt_states (chains-batched PTState), betas (T,)).
     """
     positions = jnp.asarray(positions)
     n_chains = positions.shape[0]
-    # initialize gaps from the geometric ladder
-    geo = geometric_ladder(n_temps, beta_min=beta_min_init)
-    rho0 = jnp.log(-jnp.log(geo[1:] / geo[:-1]))
+    dtype = positions.dtype
+    # equal gap shares == the geometric ladder from 1 to beta_min
+    rho0 = jnp.zeros((n_temps - 1,), dtype)
 
     states = jax.vmap(lambda p: init(p, potential_fn, n_temps))(positions)
 
     def body(carry, step_idx):
         sts, rho = carry
-        betas = betas_from_gaps(rho)
+        betas = betas_from_shares(rho, beta_min)
         kernel = build_kernel(potential_fn, prior, betas, pcn_step=pcn_step)
         keys = jax.random.split(
             jax.random.fold_in(base_key, step_idx), n_chains
@@ -286,14 +315,20 @@ def adapt_ladder(
         prob = jnp.mean(infos.pair_swap_prob, axis=0)
         act = jnp.maximum(jnp.mean(infos.pair_active, axis=0), 1e-6)
         pair_rate = (prob / act)[: n_temps - 1]
+        # Update ONLY active pairs: parity alternation makes each pair's
+        # attempt deterministic per step; an unmasked update would pull rho
+        # toward per-attempt acceptance 2·target (advisor-confirmed bias).
+        act_mask = (jnp.mean(infos.pair_active, axis=0) > 0.5)[: n_temps - 1]
         gamma = gain / (1.0 + step_idx.astype(rho.dtype)) ** 0.6
-        rho = rho + gamma * (pair_rate - target_swap)
+        rho = rho + gamma * act_mask.astype(rho.dtype) * (
+            pair_rate - target_swap
+        )
         return (sts, rho), pair_rate
 
     (states, rho), rates = jax.lax.scan(
         body, (states, rho0), jnp.arange(num_steps)
     )
-    return states, betas_from_gaps(rho)
+    return states, betas_from_shares(rho, beta_min)
 
 
 def cold_chain(state_or_samples):

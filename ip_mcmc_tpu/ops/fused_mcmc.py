@@ -383,10 +383,16 @@ def _make_fes_step_builder(n_low_modes, stretch_a):
         contraction = jnp.sqrt(1.0 - pcn_beta * pcn_beta)
 
         def init(pos):
-            return (pos, pot(pos))
+            block = pos.shape[1]
+            return (
+                pos,
+                pot(pos),
+                jnp.zeros((1, block), jnp.float32),  # stretch-accept sum
+                jnp.float32(0.0),  # step count (normalizes extra_out)
+            )
 
         def step(carry, rand_n, rand_u):
-            pos, phi = carry
+            pos, phi, st_acc, cnt = carry
             d, block = pos.shape
             m = mean[:, None]
             s = scale[:, None]
@@ -417,6 +423,9 @@ def _make_fes_step_builder(n_low_modes, stretch_a):
                 )
                 log_u = jnp.log(rand_u((1, block), tag0 + 4)[0])
                 acc = (lane % 2 == sub) & (log_u < log_ratio)
+                # each lane is attempted in exactly ONE of the two subs, so
+                # summing over subs gives the per-step stretch accept bit
+                st_acc = st_acc + acc[None, :].astype(jnp.float32)
                 w = jnp.where(acc[None, :], w_prop, w)
                 phi = jnp.where(acc, phi_p, phi)
 
@@ -430,10 +439,13 @@ def _make_fes_step_builder(n_low_modes, stretch_a):
             acc = log_u < (phi - phi_p)
             w = jnp.where(acc[None, :], w_prop, w)
             phi = jnp.where(acc, phi_p, phi)
-            return (m + s * w, phi), acc[None, :]
+            return (m + s * w, phi, st_acc, cnt + 1.0), acc[None, :]
 
         return init, step
 
+    # stretch-move acceptance per lane (the quantity stretch_a is tuned
+    # with — the main acc channel reports only the pCN complement move)
+    builder.extra_out = lambda carry: carry[2] / jnp.maximum(carry[3], 1.0)
     return builder
 
 
@@ -732,7 +744,7 @@ def _run_fused_recorded(
             pl.BlockSpec(
                 (1, block_chains), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # samples stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # samples stay in HBM
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, d), positions.dtype),
@@ -886,7 +898,13 @@ def fused_fes_chain(
     the first ``n_low_modes`` whitened coordinates (partner = dynamic odd
     lane rotation within the block-ensemble) + pCN complement, entirely in
     VMEM. Each block of ``block_chains`` lanes is one interacting walker
-    ensemble. Returns (final_positions, pCN-move acceptance per chain)."""
+    ensemble. Returns (final_positions, pCN-move acceptance per chain,
+    stretch-move acceptance per chain)."""
+    if block_chains % 2:
+        raise ValueError(
+            f"block_chains {block_chains} must be even: the red-black scheme "
+            "relies on an odd lane-roll landing on the opposite parity"
+        )
     return _run_fused(
         _make_fes_step_builder(n_low_modes, stretch_a),
         potential_fn,
@@ -921,6 +939,11 @@ def fused_fes_chain_recorded(
     block_chains=256,
 ):
     """Fused FES with in-kernel trajectory recording."""
+    if block_chains % 2:
+        raise ValueError(
+            f"block_chains {block_chains} must be even: the red-black scheme "
+            "relies on an odd lane-roll landing on the opposite parity"
+        )
     return _run_fused_recorded(
         _make_fes_step_builder(n_low_modes, stretch_a),
         potential_fn,

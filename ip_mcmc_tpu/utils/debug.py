@@ -34,8 +34,16 @@ def debug_mode(disable_jit=False):
 
 
 def checked_potential(potential_fn):
-    """Return (checked_fn, run) where checked_fn errors informatively on
-    non-finite Φ. Use: ``err, phi = run(u)``; ``err.throw()``."""
+    """Return (checked_fn, run), both safe under jit:
+
+    - ``run(u) -> (err, phi)``: the ``checkify``-transformed potential —
+      functional error handling (``err.throw()`` when convenient).
+    - ``checked_fn(u) -> phi``: eager convenience wrapper that calls ``run``
+      and throws immediately on a non-finite Φ.
+
+    (Round-1 advisor fix: the first element used to be the RAW function
+    holding a bare ``checkify.check`` — it errored if jitted outside a
+    checkify transform, contradicting the docstring contract.)"""
 
     def inner(u):
         phi = potential_fn(u)
@@ -45,5 +53,11 @@ def checked_potential(potential_fn):
         )
         return phi
 
-    checked = checkify.checkify(inner)
-    return inner, checked
+    run = checkify.checkify(inner)
+
+    def checked_fn(u):
+        err, phi = run(u)
+        err.throw()
+        return phi
+
+    return checked_fn, run

@@ -513,10 +513,28 @@ class TestFusedFES:
         kw = dict(prior_mean=np.zeros(2), prior_scale=3.0 * np.ones(2),
                   n_low_modes=2, block_chains=128)
         for seed in (1, 2):
-            pos, acc = fused_fes_chain(phi, pos, seed=seed, n_steps=600, **kw)
+            pos, acc, stretch_acc = fused_fes_chain(
+                phi, pos, seed=seed, n_steps=600, **kw
+            )
         p = np.asarray(pos)
         np.testing.assert_allclose(p.mean(axis=0), mu, atol=0.08)
         np.testing.assert_allclose(np.cov(p.T), C, atol=0.15)
+        # stretch-move acceptance channel (extra_out): a real rate in (0, 1)
+        sa = np.asarray(stretch_acc)
+        assert sa.shape == (512,)
+        assert 0.05 < sa.mean() < 0.95, sa.mean()
+
+    def test_odd_block_rejected(self):
+        from ip_mcmc_tpu.ops import fused_fes_chain
+
+        phi, *_ = self._target()
+        pos = jnp.zeros((254, 2), jnp.float32)
+        with pytest.raises(ValueError, match="even"):
+            fused_fes_chain(
+                phi, pos, prior_mean=np.zeros(2),
+                prior_scale=3.0 * np.ones(2), n_low_modes=2, seed=1,
+                n_steps=2, block_chains=127,
+            )
 
     def test_recorded_matches_endpoint(self):
         from ip_mcmc_tpu.ops import fused_fes_chain_recorded

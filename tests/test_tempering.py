@@ -89,18 +89,33 @@ class TestLadderAdaptation:
         np.testing.assert_allclose(float(b[0]), 1.0)
         assert np.all(np.diff(np.asarray(b)) < 0) and float(b[-1]) > 0
 
+    def test_betas_from_shares_pins_endpoints(self):
+        rho = jnp.array([0.3, -0.2, 1.0])
+        b = tempering.betas_from_shares(rho, 0.05)
+        assert b.shape == (4,)
+        np.testing.assert_allclose(float(b[0]), 1.0)
+        np.testing.assert_allclose(float(b[-1]), 0.05, rtol=1e-5)
+        assert np.all(np.diff(np.asarray(b)) < 0)
+        # shift invariance: only relative shares matter
+        b2 = tempering.betas_from_shares(rho + 7.0, 0.05)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(b2), rtol=1e-5)
+
     def test_adapted_ladder_equalizes_swap_rates(self):
-        """After adaptation, per-pair swap rates concentrate near the
-        target (the equalized-rate optimum for round trips)."""
+        """After adaptation the per-ATTEMPT swap rates are equalized across
+        pairs (the equi-acceptance optimum for round trips), with the
+        endpoints β=1 and β=beta_min pinned."""
         prior, phi = _bimodal_setup()
         positions = prior.sample(jax.random.key(0), (256,))
         target = 0.4
         states, betas = tempering.adapt_ladder(
             phi, prior, positions, jax.random.key(1),
             n_temps=6, num_steps=400, target_swap=target, pcn_step=0.4,
+            beta_min=0.05,
         )
         assert betas.shape == (6,)
         assert np.all(np.diff(np.asarray(betas)) < 0)
+        np.testing.assert_allclose(float(betas[0]), 1.0)
+        np.testing.assert_allclose(float(betas[-1]), 0.05, rtol=1e-4)
         # measure realized swap probabilities with the FROZEN ladder
         kernel = tempering.build_kernel(phi, prior, betas, pcn_step=0.4)
         n = 256
@@ -109,16 +124,21 @@ class TestLadderAdaptation:
             keys = jax.random.split(jax.random.fold_in(jax.random.key(2), i), n)
             sts, infos = jax.vmap(kernel)(keys, sts)
             prob = jnp.mean(infos.pair_swap_prob, axis=0)
-            act = jnp.maximum(jnp.mean(infos.pair_active, axis=0), 1e-6)
-            return sts, prob / act
+            act = jnp.mean(infos.pair_active, axis=0)
+            return sts, (prob, act)
 
-        _, rates = jax.lax.scan(body, states, jnp.arange(200))
-        pair_rates = np.asarray(rates).mean(axis=0)[:5]
-        # every adjacent pair within a loose band around the target
-        assert np.all(pair_rates > target - 0.2), pair_rates
-        assert np.all(pair_rates < target + 0.2), pair_rates
-        # and roughly equalized: spread far below an unadapted geometric ladder's
-        assert pair_rates.max() - pair_rates.min() < 0.25, pair_rates
+        # Per-ATTEMPT rate: sum of swap probabilities over sum of attempts
+        # (each pair is only attempted every other step — averaging the
+        # zeros from inactive steps would halve the estimate and mask an
+        # adaptation bias; advisor round-1 finding).
+        _, (probs, acts) = jax.lax.scan(body, states, jnp.arange(200))
+        probs, acts = np.asarray(probs), np.asarray(acts)
+        pair_rates = probs[:, :5].sum(axis=0) / acts[:, :5].sum(axis=0)
+        # equalized: spread far below an unadapted geometric ladder's
+        # (measured: adapted ~0.004 vs geometric ~0.037 on this target)
+        assert pair_rates.max() - pair_rates.min() < 0.05, pair_rates
+        # and non-degenerate: every pair actually communicates
+        assert np.all(pair_rates > 0.1) and np.all(pair_rates < 0.99)
 
 
 class TestPTMala:
