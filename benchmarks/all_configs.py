@@ -390,20 +390,25 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"device: {jax.devices()[0]}")
 
-    results = []
+    out = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                        "results_matrix.json")
+    # merge-on-write: each finished row replaces its config's entry in the
+    # existing file, so an interrupted matrix run is resumable with --only
+    results = {}
+    if _os.path.exists(out):
+        with open(out) as f:
+            results = {r["config"]: r for r in json.load(f)}
+
     names = [args.only] if args.only else list(ROWS)
     for name in names:
         log(f"--- {name} ---")
         t0 = time.perf_counter()
         row = ROWS[name](args.quick)
         row["row_wall_s"] = time.perf_counter() - t0
-        results.append(row)
+        results[row["config"]] = row
         print(json.dumps(row), flush=True)
-
-    out = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                        "results_matrix.json")
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+        with open(out, "w") as f:
+            json.dump([results[k] for k in sorted(results)], f, indent=1)
     log(f"wrote {out}")
 
 

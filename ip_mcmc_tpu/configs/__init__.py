@@ -17,7 +17,10 @@ Beyond-BASELINE configs: lingauss_elliptical, lingauss_fes (ensemble
 sampler), ode_hmc, ode_chees, darcy_pcn_warm / darcy_mala_fused /
 darcy_ess_fused (fused Pallas variants), darcy_da_pcn / darcy_da_pod
 (delayed acceptance: loose-CG / POD reduced-order surrogates), darcy64_pcn
-(large grid, DST-PCG), burgers_multitime_pcn. ``--list`` shows all.
+(large grid, DST-PCG), burgers_multitime_pcn, lingauss_advi / darcy_advi
+(ADVI backend; full-rank exact on the conjugate problem),
+darcy_advi_warmstart (VI→MCMC warm start), multimodal_pt /
+multimodal_pt_mala (parallel tempering). ``--list`` shows all.
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ class Problem:
     dim: int
     prior: Any
     potential_fn: Callable  # Φ(u), single particle
-    kernel: str  # rwm | pcn | mala | hmc | nuts | smc
+    kernel: str  # rwm | pcn | mala | hmc | nuts | smc | vi | pt | ...
     kernel_params: dict
     n_chains: int
     n_samples: int
@@ -54,13 +57,19 @@ class Problem:
     surrogate_potential_fn: Optional[Callable] = None  # cheap Φ* for da_pcn
     # warm-started fused path: (phi2(U, x0) -> (phi, x), aux_dim)
     batched_warm_potential: Optional[tuple] = None
+    # optional initial-position override (VI warm-start installs one):
+    # (key, n) -> (n, dim)
+    init_positions_fn: Optional[Callable] = None
 
     @property
     def log_density_fn(self):
         return potentials.posterior_log_density(self.potential_fn, self.prior)
 
     def init_positions(self, key, n=None):
-        return self.prior.sample(key, (n or self.n_chains,))
+        n = n or self.n_chains
+        if self.init_positions_fn is not None:
+            return self.init_positions_fn(key, n)
+        return self.prior.sample(key, (n,))
 
 
 REGISTRY: dict = {}
@@ -585,6 +594,125 @@ def burgers_pcn() -> Problem:
         notes="shock-forming forward map: derivative-free kernels only",
         batched_potential_fn=phi_batched,
     )
+
+
+@register
+def lingauss_advi() -> Problem:
+    """Full-rank ADVI on the config-2 linear-Gaussian IP. The posterior is
+    Gaussian and conjugate, so the full-rank family is EXACT at the optimum:
+    the runner reports fitted mean/covariance error against the closed-form
+    posterior (the strongest possible VI oracle — VERDICT round-1 item 3)."""
+    p = lingauss_pcn()
+    p.name = "lingauss_advi"
+    p.kernel = "vi"
+    p.kernel_params = {"full_rank": True, "num_steps": 3000,
+                       "n_mc_samples": 64, "learning_rate": 3e-2}
+    # exact posterior covariance for the error report (mean is in .truth)
+    lam = kl.laplacian_eigenvalues(32, alpha=1.0, scale=4.0)
+    rng = np.random.default_rng(42)
+    A = rng.standard_normal((16, 32)) / np.sqrt(32)
+    _, exact_cov = linear.conjugate_posterior(
+        A, np.zeros(32), np.asarray(lam), 0.05**2 * np.ones(16),
+        np.asarray(p.data),
+    )
+    p.notes = "full-rank family exact for this conjugate posterior"
+    p.kernel_params["exact_cov"] = exact_cov
+    return p
+
+
+@register
+def darcy_advi() -> Problem:
+    """Mean-field ADVI on the Darcy inverse problem — the fast approximate
+    pass whose fitted family feeds ``darcy_advi_warmstart``."""
+    phi, prior, y, u_true, _ = _darcy_problem()
+    return Problem(
+        name="darcy_advi",
+        dim=64,
+        prior=prior,
+        potential_fn=phi,
+        kernel="vi",
+        kernel_params={"full_rank": False, "num_steps": 1500,
+                       "n_mc_samples": 32, "learning_rate": 5e-2},
+        n_chains=0,
+        n_samples=0,
+        burn_in=0,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="mean-field ADVI; ELBO maximized through the PDE solve",
+    )
+
+
+@register
+def darcy_advi_warmstart() -> Problem:
+    """VI→MCMC warm start (VERDICT round-1 item 3): a short mean-field ADVI
+    fit initializes the pCN chains at the variational posterior instead of
+    the prior, cutting burn-in — the runner reports the VI fit time and the
+    initial-state misfit gap vs prior draws."""
+    p = darcy_pcn_4096()
+    p.name = "darcy_advi_warmstart"
+    p.burn_in = 100  # vs 500 from prior draws — the point of the warm start
+    p.kernel_params = {
+        "beta": 0.08,
+        "adapt": True,
+        "vi_init": {"full_rank": False, "num_steps": 800,
+                    "n_mc_samples": 32, "learning_rate": 5e-2},
+    }
+    p.notes = "chains start at the ADVI variational posterior"
+    return p
+
+
+def _bimodal_problem() -> tuple:
+    """2-D bimodal Gaussian mixture under a wide Gaussian reference measure:
+    modes at ±(sep, sep) with scale sig — the multimodality stress case that
+    single-temperature pCN/RWM provably cannot mix across."""
+    sep, sig = 2.5, 0.3
+    prior = dist.DiagGaussian(mean=jnp.zeros(2), scale=3.0 * jnp.ones(2))
+    mode = jnp.array([sep, sep])
+
+    def log_mix(u):
+        a = -0.5 * jnp.sum((u - mode) ** 2) / sig**2
+        b = -0.5 * jnp.sum((u + mode) ** 2) / sig**2
+        return jnp.logaddexp(a, b)
+
+    phi = lambda u: -log_mix(u) - prior.potential(u)
+    return prior, phi, sep, sig
+
+
+@register
+def multimodal_pt() -> Problem:
+    """Parallel tempering (replica exchange) on a bimodal target: 8-rung
+    tempered-pCN ladder with equi-acceptance adaptation
+    (kernels/tempering.py), cold chain recorded. The registry/CLI path for
+    the PT kernel (VERDICT round-1 item 3); mode-balance is the headline
+    metric — plain pCN at this separation stays in its starting mode."""
+    prior, phi, sep, sig = _bimodal_problem()
+    return Problem(
+        name="multimodal_pt",
+        dim=2,
+        prior=prior,
+        potential_fn=phi,
+        kernel="pt",
+        kernel_params={"n_temps": 8, "pcn_step": 0.4, "beta_min": 0.05,
+                       "adapt_ladder": True, "target_swap": 0.4},
+        n_chains=256,
+        n_samples=800,
+        burn_in=300,
+        truth=np.zeros(2),  # symmetric mixture: exact mean is 0
+        notes="cold-chain mode balance ≈ 0.5/0.5; swaps transport hot-chain jumps",
+    )
+
+
+@register
+def multimodal_pt_mala() -> Problem:
+    """PT with MALA mutations on the bimodal target (gradient proposals per
+    replica, ladder swaps identical) — ROADMAP P2's 'ladder adaptation +
+    MALA mutations compose'."""
+    p = multimodal_pt()
+    p.name = "multimodal_pt_mala"
+    p.kernel_params = {"n_temps": 8, "step_size": 0.25, "beta_min": 0.05,
+                       "mutation": "mala", "adapt_ladder": True,
+                       "target_swap": 0.4, "pcn_step": 0.4}
+    return p
 
 
 @register

@@ -43,6 +43,7 @@ def _build_kernel_and_state(problem, key, n_chains):
     map_init = kp.pop("map_init", 0)
     kp.pop("fused", None)  # handled by run_problem; ignored on other paths
     kp.pop("block_chains", None)
+    kp.pop("vi_init", None)  # VI warm start: consumed by run_problem
     key_init, key_warm = jax.random.split(key)
     positions = problem.init_positions(key_init, n_chains)
     t0 = time.perf_counter()
@@ -187,6 +188,18 @@ def run_problem(
     n_chains = n_chains or problem.n_chains
     n_samples = n_samples or problem.n_samples
 
+    if problem.kernel == "vi":
+        metrics = _run_vi(problem, key)
+        return _finalize(metrics, metrics_log, t_start)
+
+    if problem.kernel == "pt":
+        metrics = _run_pt(problem, key, n_chains, n_samples)
+        return _finalize(metrics, metrics_log, t_start)
+
+    vi_extra = {}
+    if problem.kernel_params.get("vi_init"):
+        vi_extra = _vi_warm_start(problem, jax.random.fold_in(key, 71))
+
     if problem.kernel == "chees":
         metrics = _run_chees(problem, key, n_chains, n_samples)
         return _finalize(metrics, metrics_log, t_start)
@@ -275,6 +288,7 @@ def run_problem(
         metrics["mean_error_vs_exact"] = float(
             np.abs(flat_mean - problem.truth).max()
         )
+    metrics.update(vi_extra)
     trace = getattr(infos, "accepted", getattr(infos, "accept_prob", None))
     return _finalize(metrics, metrics_log, t_start, accept_trace=trace)
 
@@ -506,6 +520,189 @@ def _run_fes(problem, key, n_chains, n_samples):
         "pcn_accept_rate": float(np.asarray(infos.pcn_accept).mean()),
         "posterior_mean": np.asarray(summ["mean"]).tolist(),
     }
+
+
+def _run_vi(problem, key):
+    """ADVI path (kernel='vi'): maximize the ELBO, report the fitted
+    variational moments plus errors against the exact posterior where the
+    config carries one (lingauss_advi: conjugate closed form — the full-rank
+    family is exact there, so moment errors measure optimizer convergence,
+    not family bias). VERDICT round-1 item 3: VI reachable from the CLI."""
+    from ip_mcmc_tpu import vi
+
+    kp = dict(problem.kernel_params)
+    exact_cov = kp.pop("exact_cov", None)
+    t0 = time.perf_counter()
+    params, elbo_trace = vi.fit(
+        problem.log_density_fn,
+        problem.dim,
+        key,
+        num_steps=kp.get("num_steps", 2000),
+        n_samples=kp.get("n_mc_samples", 64),
+        learning_rate=kp.get("learning_rate", 5e-2),
+        full_rank=kp.get("full_rank", False),
+    )
+    jax.block_until_ready(params.mu)
+    fit_s = time.perf_counter() - t0
+    mean, cov = vi.posterior_moments(params)
+    mean = np.asarray(mean)
+    elbo = np.asarray(elbo_trace)
+    metrics = {
+        "config": problem.name,
+        "kernel": "vi" + ("(full_rank)" if kp.get("full_rank") else "(mean_field)"),
+        "dim": int(problem.dim),
+        "num_steps": int(kp.get("num_steps", 2000)),
+        "fit_s": fit_s,
+        "elbo_steps_per_s": kp.get("num_steps", 2000) / fit_s,
+        "final_elbo": float(elbo[-100:].mean()),  # MC-noise-averaged tail
+        "posterior_mean": mean.tolist(),
+    }
+    if problem.truth is not None:
+        metrics["mean_error_vs_exact"] = float(
+            np.abs(mean - np.asarray(problem.truth)).max()
+        )
+    if exact_cov is not None:
+        cov_err = np.abs(np.asarray(cov) - np.asarray(exact_cov)).max()
+        metrics["cov_error_vs_exact"] = float(cov_err)
+    return metrics
+
+
+def _vi_warm_start(problem, key):
+    """kernel_params['vi_init']: fit a short ADVI pass and install its
+    variational posterior as the chain initializer (vi.warm_start), so MCMC
+    burn-in starts inside the posterior bulk instead of at prior draws.
+    Returns metrics quantifying what the warm start bought: the mean data
+    misfit of VI-initialized vs prior-initialized chains."""
+    from ip_mcmc_tpu import vi
+
+    cfg = problem.kernel_params["vi_init"]
+    cfg = cfg if isinstance(cfg, dict) else {}
+    key_fit, key_cmp = jax.random.split(key)
+    t0 = time.perf_counter()
+    params, elbo_trace = vi.fit(
+        problem.log_density_fn,
+        problem.dim,
+        key_fit,
+        num_steps=cfg.get("num_steps", 800),
+        n_samples=cfg.get("n_mc_samples", 32),
+        learning_rate=cfg.get("learning_rate", 5e-2),
+        full_rank=cfg.get("full_rank", False),
+    )
+    jax.block_until_ready(params.mu)
+    fit_s = time.perf_counter() - t0
+    problem.init_positions_fn = lambda k, n: vi.warm_start(params, k, n)
+
+    # what the warm start buys: initial-state potential, VI vs prior draws
+    n_cmp = min(256, problem.n_chains or 256)
+    phi_v = jax.vmap(problem.potential_fn)
+    vi_pos = vi.warm_start(params, key_cmp, n_cmp)
+    prior_pos = problem.prior.sample(key_cmp, (n_cmp,))
+    return {
+        "vi_fit_s": fit_s,
+        "vi_final_elbo": float(np.asarray(elbo_trace)[-50:].mean()),
+        "init_potential_vi": float(np.asarray(phi_v(vi_pos)).mean()),
+        "init_potential_prior": float(np.asarray(phi_v(prior_pos)).mean()),
+    }
+
+
+def _run_pt(problem, key, n_chains, n_samples):
+    """Parallel-tempering path (kernel='pt'): equi-acceptance ladder
+    adaptation (doubles as burn-in), then the frozen-ladder PT kernel —
+    tempered pCN or MALA mutations + parity-alternating swaps — scanned by
+    the standard driver with the COLD (β=1) replica recorded. Mode balance
+    (sign split of the first coordinate) is reported: it is the quantity PT
+    exists to fix on multimodal targets."""
+    from ip_mcmc_tpu.kernels import tempering
+
+    kp = dict(problem.kernel_params)
+    n_temps = kp.get("n_temps", 8)
+    beta_min = kp.get("beta_min", 0.05)
+    pcn_step = kp.get("pcn_step", 0.25)
+    mutation = kp.get("mutation", "pcn")
+    phi, prior = problem.potential_fn, problem.prior
+    key_init, key_adapt, key_run = jax.random.split(key, 3)
+    positions = problem.init_positions(key_init, n_chains)
+
+    t0 = time.perf_counter()
+    if kp.get("adapt_ladder", True):
+        # ladder adaptation always runs the (cheap, derivative-free) pCN
+        # mutation: swap rates depend on the betas/Φ distribution, not on
+        # the mutation used later
+        states, betas = tempering.adapt_ladder(
+            phi, prior, positions, key_adapt,
+            n_temps=n_temps,
+            num_steps=problem.burn_in or 300,
+            target_swap=kp.get("target_swap", 0.4),
+            pcn_step=pcn_step,
+            beta_min=beta_min,
+        )
+        burn = 0
+    else:
+        betas = tempering.geometric_ladder(n_temps, beta_min)
+        states = driver.init_chains(
+            lambda p: tempering.init(p, phi, n_temps), positions
+        )
+        burn = problem.burn_in
+
+    if mutation == "mala":
+        pos = states.positions  # (chains, T, d)
+        pots, grads = jax.vmap(jax.vmap(jax.value_and_grad(phi)))(pos)
+        states = tempering.PTMalaState(
+            positions=pos, potentials=pots, phi_grads=grads,
+            parity=states.parity,
+        )
+        kernel = tempering.build_mala_kernel(
+            phi, prior, betas, step_size=kp.get("step_size", 0.05)
+        )
+    else:
+        kernel = tempering.build_kernel(phi, prior, betas, pcn_step=pcn_step)
+    jax.block_until_ready(states.positions)
+    warm_s = time.perf_counter() - t0
+
+    cold = lambda s: s.positions[:, 0, :]
+
+    def _sample():
+        return driver.sample_chains(
+            kernel, states, key_run,
+            n_samples=n_samples, burn_in=burn, thin=problem.thin,
+            record_fn=cold,
+        )
+
+    t0 = time.perf_counter()
+    out = _sample()
+    jax.block_until_ready(out[1])
+    compile_and_run_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    final_state, samples, infos = _sample()
+    jax.block_until_ready(samples)
+    run_s = time.perf_counter() - t0
+
+    summ = diagnostics.summarize(samples)
+    s = np.asarray(samples)
+    metrics = {
+        "config": problem.name,
+        "kernel": f"pt({mutation})",
+        "n_chains": int(n_chains),
+        "n_temps": int(n_temps),
+        "n_samples": int(n_samples),
+        "dim": int(problem.dim),
+        "warmup_s": warm_s,
+        "compile_s": max(compile_and_run_s - run_s, 0.0),
+        "run_s": run_s,
+        # one PT step = n_temps replica mutations + a swap round
+        "steps_per_s": (burn + n_samples * problem.thin) * n_chains / run_s,
+        "replica_steps_per_s": (burn + n_samples * problem.thin)
+        * n_chains * n_temps / run_s,
+        "min_ess": float(summ["min_ess"]),
+        "ess_per_s": float(summ["min_ess"]) / run_s,
+        "max_rhat": float(summ["max_rhat"]),
+        "accept_rate": float(np.asarray(infos.accept_rate).mean()),
+        "swap_rate": float(np.asarray(infos.swap_rate).mean()),
+        "betas": np.asarray(betas).tolist(),
+        "mode_balance": float((s[..., 0] > 0).mean()),
+        "posterior_mean": np.asarray(summ["mean"]).tolist(),
+    }
+    return metrics
 
 
 def _run_smc(problem, key, n_particles):
