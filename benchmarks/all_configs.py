@@ -367,6 +367,62 @@ def row_darcy_smc(quick):
     }
 
 
+def row_darcy_smc_warm(quick):
+    """Config 5 fast path: smc.run_batched with the warm-DST batched Darcy
+    mutation (each particle carries its converged solve through mutation AND
+    resampling). Same posterior/algorithm as row_darcy_smc; compares the
+    warm TPU path against the NumPy oracle AND the cold TPU path."""
+    import jax
+
+    from benchmarks.oracle_darcy import OracleDarcyPCN
+    from ip_mcmc_tpu import configs, runner
+    from tests.oracle import oracle_mcmc as om
+
+    problem = configs.build("darcy_smc_warm")
+    kp = problem.kernel_params
+
+    def tpu(n):
+        t0 = time.perf_counter()
+        m = runner.run_problem(problem, key=jax.random.key(0), n_chains=n)
+        first = time.perf_counter() - t0
+        m2 = runner.run_problem(problem, key=jax.random.key(0), n_chains=n)
+        evals = n * m2["n_stages"] * (1 + kp["mutation_steps"])
+        return m2, evals / m2["run_s"]
+
+    n_eq = 128 if quick else 256
+    m_eq, evals_eq = tpu(n_eq)
+    m_full, evals_full = tpu(4096)
+
+    oracle = OracleDarcyPCN()
+    y = np.asarray(problem.data)
+    pot = lambda u: oracle.potential(u, y, 0.002)
+    rng = np.random.default_rng(11)
+    t0 = time.perf_counter()
+    parts, o_logz, o_stages, o_evals = om.smc_tempered(
+        pot, lambda r: r.standard_normal(oracle.K), n_eq, rng,
+        ess_target=kp["ess_target"], mutation_steps=kp["mutation_steps"],
+        pcn_step=kp["pcn_step"], max_stages=kp["max_stages"],
+    )
+    o_s = time.perf_counter() - t0
+
+    return {
+        "config": "darcy_smc_warm",
+        "kernel": "adaptive tempered SMC, warm-DST batched mutation",
+        "n_equal": n_eq,
+        "oracle_evals_per_s": o_evals / o_s,
+        "oracle_log_evidence": float(o_logz),
+        "tpu_evals_per_s": evals_eq,
+        "tpu_log_evidence": m_eq["log_evidence"],
+        "log_evidence_gap": abs(m_eq["log_evidence"] - float(o_logz)),
+        "speedup": evals_eq / (o_evals / o_s),
+        "tpu_4096_evals_per_s": evals_full,
+        "tpu_4096_particles_per_s": 4096 * m_full["n_stages"] / m_full["run_s"],
+        "tpu_4096_log_evidence": m_full["log_evidence"],
+        "tpu_4096_log_evidence_ti": m_full["log_evidence_ti"],
+        "tpu_4096_stages": m_full["n_stages"],
+    }
+
+
 ROWS = {
     "gauss2d_rwm": row_gauss2d,
     "lingauss_pcn": row_lingauss,
@@ -374,6 +430,7 @@ ROWS = {
     "ode_nuts": row_ode_nuts,
     "darcy_pcn_4096": row_darcy_pcn,
     "darcy_smc": row_darcy_smc,
+    "darcy_smc_warm": row_darcy_smc_warm,
 }
 
 

@@ -565,6 +565,44 @@ def darcy_smc() -> Problem:
 
 
 @register
+def darcy_smc_warm() -> Problem:
+    """Config 5 on the fast path: adaptive tempered SMC whose mutation runs
+    the warm-DST batched Darcy misfit (smc.run_batched) — each particle
+    carries its converged solve across mutation steps AND resampling, so a
+    mutation evaluation costs 6 DST-PCG iterations instead of the cold 48
+    per-particle solves of ``darcy_smc`` (VERDICT round-1 item 4)."""
+    phi, prior, y, u_true, phi_batched = _darcy_problem()
+    _, aux = darcy.make_darcy_forward(
+        n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+    )
+    warm = darcy.make_batched_misfit_warm(aux, y, 0.002, cg_iters=6,
+                                          precond="dst")
+    return Problem(
+        name="darcy_smc_warm",
+        dim=64,
+        prior=prior,
+        potential_fn=phi,
+        kernel="smc",
+        kernel_params={
+            "batched": True,
+            "warm": True,
+            "ess_target": 0.5,
+            "mutation_steps": 5,
+            "pcn_step": 0.15,
+            "max_stages": 60,
+        },
+        n_chains=4096,  # particles
+        n_samples=0,
+        burn_in=0,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="same posterior/algorithm as darcy_smc; warm batched mutation",
+        batched_potential_fn=phi_batched,
+        batched_warm_potential=warm,
+    )
+
+
+@register
 def burgers_pcn() -> Problem:
     """Reference headline problem class: Burgers initial-data inversion."""
     fwd, aux = burgers.make_burgers_forward(

@@ -707,32 +707,63 @@ def _run_pt(problem, key, n_chains, n_samples):
 
 def _run_smc(problem, key, n_particles):
     kp = dict(problem.kernel_params)
+    batched = kp.pop("batched", False)
+    if batched:
+        # warm/DST batched mutation path (smc.run_batched): the config-4
+        # fast machinery driving config 5 (VERDICT round-1 item 4)
+        extra = {}
+        if kp.pop("warm", False) and problem.batched_warm_potential is not None:
+            phi2, aux_dim = problem.batched_warm_potential
+            extra = dict(warm_potential_fn=phi2, aux_dim=aux_dim)
+        kernel_name = "smc(batched" + ("+warm)" if extra else ")")
+
+        def _go():
+            return smc.run_batched(
+                problem.batched_potential_fn,
+                np.asarray(problem.prior.mean),
+                np.asarray(problem.prior.scale),
+                key,
+                n_particles=n_particles,
+                **extra,
+                **kp,
+            )
+
+        particle_axis = 1
+    else:
+        kernel_name = "smc"
+
+        def _go():
+            return smc.run(
+                problem.potential_fn, problem.prior, key,
+                n_particles=n_particles, **kp,
+            )
+
+        particle_axis = 0
+
     t0 = time.perf_counter()
-    state, info = smc.run(
-        problem.potential_fn, problem.prior, key, n_particles=n_particles, **kp
-    )
+    state, info = _go()
     jax.block_until_ready(state.particles)
     compile_and_run = time.perf_counter() - t0
     t0 = time.perf_counter()
-    state, info = smc.run(
-        problem.potential_fn, problem.prior, key, n_particles=n_particles, **kp
-    )
+    state, info = _go()
     jax.block_until_ready(state.particles)
     run_s = time.perf_counter() - t0
     n_stages = int(info.n_stages)
+    mean = np.asarray(state.particles).mean(axis=particle_axis)
     return {
         "config": problem.name,
-        "kernel": "smc",
+        "kernel": kernel_name,
         "n_particles": int(n_particles),
         "dim": int(problem.dim),
         "compile_s": max(compile_and_run - run_s, 0.0),
         "run_s": run_s,
         "n_stages": n_stages,
         "log_evidence": float(state.log_z),
+        "log_evidence_ti": smc.thermodynamic_log_z(info),
         "final_beta": float(state.beta),
         "mean_mutation_accept": float(
             np.nanmean(np.asarray(info.accept_rates)[:n_stages])
         ),
-        "posterior_mean": np.asarray(state.particles).mean(axis=0).tolist(),
+        "posterior_mean": mean.tolist(),
         "particles_per_s": n_particles * n_stages / run_s,
     }

@@ -279,6 +279,178 @@ def run(
     return state, info
 
 
+@pytree_dataclass
+class SMCBatchedState:
+    particles: jnp.ndarray  # (d, n) CHAIN-LAST (the batched-misfit layout)
+    potentials: jnp.ndarray  # (n,) untempered Φ, cached
+    warm_aux: jnp.ndarray  # (aux_dim, n) carried warm-solve state
+    beta: jnp.ndarray
+    log_z: jnp.ndarray
+    stage: jnp.ndarray
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "batched_potential_fn",
+        "warm_potential_fn",
+        "aux_dim",
+        "n_particles",
+        "mutation_steps",
+        "max_stages",
+        "init_sweeps",
+    ),
+)
+def run_batched(
+    batched_potential_fn,
+    prior_mean,
+    prior_scale,
+    key,
+    n_particles=4096,
+    *,
+    warm_potential_fn=None,
+    aux_dim=1,
+    ess_target=0.5,
+    mutation_steps=5,
+    pcn_step=0.3,
+    max_stages=50,
+    init_sweeps=8,
+):
+    """Adaptive tempered SMC on a BATCHED potential (VERDICT round-1 item 4:
+    config-5 mutation previously ran the cold per-particle scan-path misfit
+    with 48-iteration CG; this path runs the same warm/DST batched machinery
+    that makes config 4 fast).
+
+    ``batched_potential_fn``: Φ over a chain-last batch, (d, n) -> (n,)
+    (e.g. ``darcy.make_batched_misfit``) — one XLA program evaluates ALL
+    particles' PDE solves as batched matmul/stencil ops on the MXU/VPU.
+
+    ``warm_potential_fn``: optional ``phi2(U, X0) -> (phi, X)`` (e.g.
+    ``darcy.make_batched_misfit_warm``): each particle CARRIES its converged
+    solve (``warm_aux``); mutation proposals warm-start from it (local moves
+    → ~6 DST iterations instead of 48 cold), resampling gathers it with the
+    ancestor (a copied particle inherits its ancestor's converged solution —
+    exact, no re-solve). ``init_sweeps`` repeated applications converge the
+    very first solve from a zero start.
+
+    Prior: diagonal Gaussian (mean, scale) — the whitened-KL convention of
+    every fused config. Algorithm, β-bisection, evidence telescoping and
+    systematic resampling are IDENTICAL to ``run`` (tests assert equal
+    log-evidence on the linear-Gaussian closed form).
+    """
+    pm = jnp.asarray(prior_mean, jnp.float32).reshape(-1, 1)  # (d, 1)
+    ps = jnp.asarray(prior_scale, jnp.float32).reshape(-1, 1)
+    d = pm.shape[0]
+    contraction = jnp.sqrt(1.0 - pcn_step * pcn_step)
+
+    if warm_potential_fn is not None:
+        evaluate = warm_potential_fn
+    else:
+        aux_dim = 1
+
+        def evaluate(U, X0):
+            return batched_potential_fn(U), X0
+
+    key_init, key_loop = jax.random.split(key)
+    particles = pm + ps * jax.random.normal(
+        key_init, (d, n_particles), jnp.float32
+    )
+    warm_aux = jnp.zeros((aux_dim, n_particles), jnp.float32)
+    # converge the initial solves: repeated warm applications from zero
+    # (k sweeps of m iterations ≈ one k·m-iteration cold solve)
+    sweeps = init_sweeps if warm_potential_fn is not None else 1
+    for _ in range(sweeps):
+        potentials, warm_aux = evaluate(particles, warm_aux)
+
+    state = SMCBatchedState(
+        particles=particles,
+        potentials=potentials,
+        warm_aux=warm_aux,
+        beta=jnp.zeros((), potentials.dtype),
+        log_z=jnp.zeros((), potentials.dtype),
+        stage=jnp.zeros((), jnp.int32),
+    )
+    nan = jnp.full((max_stages,), jnp.nan, dtype=potentials.dtype)
+    info = SMCInfo(
+        betas=nan, ess=nan, accept_rates=nan,
+        n_stages=jnp.zeros((), jnp.int32), mutation_counts=nan,
+        mean_potentials=nan,
+        prior_mean_potential=jnp.mean(potentials),
+    )
+
+    def cond(carry):
+        state, _ = carry
+        return (state.beta < 1.0) & (state.stage < max_stages)
+
+    def body(carry):
+        state, info = carry
+        key_stage = jax.random.fold_in(key_loop, state.stage)
+        key_res, key_mut = jax.random.split(key_stage)
+
+        delta = find_next_beta(state.beta, state.potentials, ess_target)
+        new_beta = jnp.minimum(state.beta + delta, 1.0)
+        log_w = -delta * state.potentials
+        log_z = state.log_z + jax.scipy.special.logsumexp(log_w) - jnp.log(
+            jnp.asarray(n_particles, log_w.dtype)
+        )
+        ess_val = effective_sample_size(log_w)
+
+        ancestors = systematic_resample(key_res, log_w)
+        U = state.particles[:, ancestors]
+        phi = state.potentials[ancestors]
+        X = state.warm_aux[:, ancestors]
+
+        def mut_body(carry, step_idx):
+            U, phi, X, _ = carry
+            k = jax.random.fold_in(key_mut, step_idx)
+            k_prop, k_acc = jax.random.split(k)
+            xi = jax.random.normal(k_prop, U.shape, U.dtype)
+            V = pm + contraction * (U - pm) + pcn_step * (ps * xi)
+            phi_v, X_v = evaluate(V, X)  # warm-start from current solution
+            log_ratio = new_beta * (phi - phi_v)
+            log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+            log_u = jnp.log(
+                jax.random.uniform(k_acc, phi.shape, dtype=phi.dtype)
+            )
+            acc = log_u < log_ratio
+            U = jnp.where(acc[None, :], V, U)
+            phi = jnp.where(acc, phi_v, phi)
+            X = jnp.where(acc[None, :], X_v, X)
+            return (U, phi, X, jnp.mean(acc.astype(phi.dtype))), None
+
+        (U, phi, X, acc_rate), _ = jax.lax.scan(
+            mut_body,
+            (U, phi, X, jnp.zeros((), phi.dtype)),
+            jnp.arange(mutation_steps),
+        )
+
+        info = SMCInfo(
+            betas=info.betas.at[state.stage].set(new_beta),
+            ess=info.ess.at[state.stage].set(ess_val),
+            accept_rates=info.accept_rates.at[state.stage].set(acc_rate),
+            n_stages=info.n_stages + 1,
+            mutation_counts=info.mutation_counts.at[state.stage].set(
+                jnp.asarray(mutation_steps, info.mutation_counts.dtype)
+            ),
+            mean_potentials=info.mean_potentials.at[state.stage].set(
+                jnp.mean(phi)
+            ),
+            prior_mean_potential=info.prior_mean_potential,
+        )
+        state = SMCBatchedState(
+            particles=U,
+            potentials=phi,
+            warm_aux=X,
+            beta=new_beta,
+            log_z=log_z,
+            stage=state.stage + 1,
+        )
+        return state, info
+
+    state, info = jax.lax.while_loop(cond, body, (state, info))
+    return state, info
+
+
 def thermodynamic_log_z(info):
     """Independent evidence estimate from the SAME run: thermodynamic
     integration (path sampling) log Z = −∫₀¹ E_β[Φ] dβ, trapezoid over the

@@ -202,3 +202,68 @@ class TestThermodynamicIntegration:
         ti = smc.thermodynamic_log_z(info)
         np.testing.assert_allclose(ti, log_z, atol=0.15)
         np.testing.assert_allclose(ti, float(state.log_z), atol=0.15)
+
+
+class TestBatchedSMC:
+    """smc.run_batched (warm/batched mutation path — VERDICT round-1 item 4):
+    same algorithm as smc.run, chain-last batched potential, optional carried
+    warm solves. Correctness anchor: the closed-form linear-Gaussian
+    posterior/evidence, plus cross-path agreement on Darcy."""
+
+    def test_matches_closed_form_posterior_and_evidence(self):
+        phi, prior, mean, cov, log_z = TestSMCEndToEnd._problem(TestSMCEndToEnd)
+        phi_b = lambda U: 0.5 * jnp.sum(
+            ((jnp.asarray([1.0, -0.5, 0.3], jnp.float32)[:, None]
+              - jnp.asarray([[1.0, 0.5], [0.0, 1.0], [1.0, -1.0]],
+                            jnp.float32) @ U) / 0.5) ** 2, axis=0)
+        # ess_target 0.8 → fine β ladder, so the TI trapezoid cross-anchor
+        # is usable too (coarse ladders bias the β-integral, not the SMC
+        # telescoping estimate)
+        state, info = smc.run_batched(
+            phi_b, np.zeros(2), np.ones(2), jax.random.key(0),
+            n_particles=4096, ess_target=0.8, mutation_steps=10, pcn_step=0.5,
+        )
+        emp_mean = np.asarray(state.particles).mean(axis=1)
+        np.testing.assert_allclose(emp_mean, mean, atol=0.05)
+        np.testing.assert_allclose(float(state.log_z), log_z, atol=0.12)
+        # TI cross-anchor on the same run
+        np.testing.assert_allclose(
+            smc.thermodynamic_log_z(info), log_z, atol=0.3
+        )
+
+    def test_warm_path_matches_cold_batched(self):
+        """Carried-solve warm evaluation ≡ cold batched evaluation in
+        distribution: identity 'solve' whose aux is just passed through."""
+        phi, prior, mean, cov, log_z = TestSMCEndToEnd._problem(TestSMCEndToEnd)
+        yj = jnp.asarray([1.0, -0.5, 0.3], jnp.float32)[:, None]
+        Aj = jnp.asarray([[1.0, 0.5], [0.0, 1.0], [1.0, -1.0]], jnp.float32)
+        phi_b = lambda U: 0.5 * jnp.sum(((yj - Aj @ U) / 0.5) ** 2, axis=0)
+        phi2 = lambda U, X: (phi_b(U), X)
+        state, _ = smc.run_batched(
+            None, np.zeros(2), np.ones(2), jax.random.key(0),
+            n_particles=2048, warm_potential_fn=phi2, aux_dim=3,
+            ess_target=0.5, mutation_steps=10, pcn_step=0.5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.particles).mean(axis=1), mean, atol=0.07
+        )
+        np.testing.assert_allclose(float(state.log_z), log_z, atol=0.15)
+
+    def test_darcy_smc_warm_config_agrees_with_cold(self):
+        """The registered darcy_smc_warm config reproduces darcy_smc's
+        log-evidence within MC error at reduced particle count (same
+        posterior, same adaptive ladder)."""
+        from ip_mcmc_tpu import configs, runner
+
+        cold = configs.build("darcy_smc")
+        warm = configs.build("darcy_smc_warm")
+        m_cold = runner.run_problem(cold, key=jax.random.key(0), n_chains=256)
+        m_warm = runner.run_problem(warm, key=jax.random.key(0), n_chains=256)
+        assert m_warm["kernel"] == "smc(batched+warm)"
+        assert abs(m_warm["log_evidence"] - m_cold["log_evidence"]) < 3.0
+        # posterior agreement within MC error: two COLD runs at 256
+        # particles differ by RMS ≈ 0.55 over the 64 (mostly prior-wide)
+        # dims (measured, seeds 0 vs 7) — warm-vs-cold must sit inside that
+        mc = np.asarray(m_cold["posterior_mean"])
+        mw = np.asarray(m_warm["posterior_mean"])
+        assert np.sqrt(((mc - mw) ** 2).mean()) < 0.8
