@@ -51,11 +51,27 @@ def _hash_bits(key, shape):
 
 
 def _mix_key(seed, step, tag):
-    k = seed.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
-    k = k + step.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)
-    k = k + jnp.uint32(tag) * jnp.uint32(0x27D4EB2F)
+    """(seed, step, tag) → stream key, NONLINEAR sponge.
+
+    The round-1 mixer was linear in its inputs before the final shuffle
+    (k = seed·A + step·B + tag·C mod 2³²), so any (Δseed, Δstep) on the
+    lattice {Δseed·A + Δstep·B ≡ 0} aliased EXACTLY: the shortest vector
+    (Δseed=92, Δstep=56540) made two launches with seeds 92 apart replay
+    the identical normal stream 56k steps apart (found by the lattice
+    audit in tests/test_kernel_rng.py, which guards this function).
+    Interleaving a murmur3-style finalizer between absorbing the
+    (seed, tag) pair and the step counter destroys the linear structure —
+    aliasing would now require inverting the avalanche."""
+    k = seed.astype(jnp.uint32) ^ (jnp.uint32(tag) * jnp.uint32(0x27D4EB2F))
+    k = k * jnp.uint32(0x85EBCA6B)
     k = k ^ (k >> 13)
-    return k * jnp.uint32(0x165667B1)
+    k = k * jnp.uint32(0x165667B1)
+    k = k ^ (k >> 16)
+    k = k + step.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+    k = k ^ (k >> 13)
+    k = k * jnp.uint32(0xC2B2AE35)
+    k = k ^ (k >> 16)
+    return k
 
 
 def _uniform01(key, shape):
