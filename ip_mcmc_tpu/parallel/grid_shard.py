@@ -89,76 +89,84 @@ def sharded_apply_operator(a_local, p_local, n: int, axis_name=MODEL_AXIS):
     return out
 
 
+def solve_cg_local(a_local, f_local, n: int, n_iters: int = 150,
+                   axis_name=MODEL_AXIS):
+    """Per-shard body of the distributed Jacobi-PCG solve (callable INSIDE a
+    ``shard_map`` over ``axis_name``; also vmap-able over a leading chain
+    axis — the composed ('chains','model') path in parallel/composed.py
+    relies on that batching of the ppermute/psum collectives).
+
+    a_local, f_local: (rows_per_device, n) row blocks. Returns the local
+    row block of the solution.
+    """
+    # Jacobi diagonal, assembled locally with halo transmissibilities
+    h2 = float(n * n)
+    a_above, a_below = _halo_exchange_rows(a_local, axis_name)
+    t_h = 2.0 * a_local[:, :-1] * a_local[:, 1:] / (
+        a_local[:, :-1] + a_local[:, 1:]
+    ) * h2
+    d = jnp.zeros_like(a_local)
+    d = d.at[:, :-1].add(t_h).at[:, 1:].add(t_h)
+    a_ext = jnp.concatenate([a_above[None], a_local, a_below[None]], axis=0)
+    denom = a_ext[:-1] + a_ext[1:]
+    t_v_ext = jnp.where(
+        denom > 0.0,
+        2.0 * a_ext[:-1] * a_ext[1:] / jnp.where(denom > 0.0, denom, 1.0),
+        0.0,
+    ) * h2
+    d = d + t_v_ext[1:] + t_v_ext[:-1]
+    nd = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    tb = 2.0 * h2
+    d = d.at[0].add(jnp.where(idx == 0, tb * a_local[0], jnp.zeros(n)))
+    d = d.at[-1].add(
+        jnp.where(idx == nd - 1, tb * a_local[-1], jnp.zeros(n))
+    )
+    d = d.at[:, 0].add(tb * a_local[:, 0])
+    d = d.at[:, -1].add(tb * a_local[:, -1])
+    inv_diag = 1.0 / d
+
+    def psum(x):
+        return jax.lax.psum(x, axis_name)
+
+    def matvec(p):
+        return sharded_apply_operator(a_local, p, n, axis_name)
+
+    x = jnp.zeros_like(f_local)
+    r = f_local
+    z = inv_diag * r
+    p = z
+    rz = psum(jnp.sum(r * z))
+
+    def it(_, carry):
+        x, r, p, rz = carry
+        Ap = matvec(p)
+        pAp = psum(jnp.sum(p * Ap))
+        alpha = jnp.where(pAp > 0.0, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = inv_diag * r
+        rz_new = psum(jnp.sum(r * z))
+        beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz > 0.0, rz, 1.0), 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, n_iters, it, (x, r, p, rz))
+    return x
+
+
 def sharded_solve_cg(a, f, n: int, mesh, n_iters: int = 150):
     """Distributed Jacobi-PCG solve of A(a) p = f over the 'model' axis.
 
     a, f: full (n, n) and (n²,) arrays (placed/sharded by caller or here).
     Returns the full solution (n²,) (row-sharded output, global view).
     """
-    f2 = f.reshape(n, n)
-
-    def body(a_local, f_local):
-        # Jacobi diagonal, assembled locally with halo transmissibilities
-        h2 = float(n * n)
-        a_above, a_below = _halo_exchange_rows(a_local)
-        t_h = 2.0 * a_local[:, :-1] * a_local[:, 1:] / (
-            a_local[:, :-1] + a_local[:, 1:]
-        ) * h2
-        d = jnp.zeros_like(a_local)
-        d = d.at[:, :-1].add(t_h).at[:, 1:].add(t_h)
-        a_ext = jnp.concatenate([a_above[None], a_local, a_below[None]], axis=0)
-        denom = a_ext[:-1] + a_ext[1:]
-        t_v_ext = jnp.where(
-            denom > 0.0,
-            2.0 * a_ext[:-1] * a_ext[1:] / jnp.where(denom > 0.0, denom, 1.0),
-            0.0,
-        ) * h2
-        d = d + t_v_ext[1:] + t_v_ext[:-1]
-        nd = jax.lax.axis_size(MODEL_AXIS)
-        idx = jax.lax.axis_index(MODEL_AXIS)
-        tb = 2.0 * h2
-        d = d.at[0].add(jnp.where(idx == 0, tb * a_local[0], jnp.zeros(n)))
-        d = d.at[-1].add(
-            jnp.where(idx == nd - 1, tb * a_local[-1], jnp.zeros(n))
-        )
-        d = d.at[:, 0].add(tb * a_local[:, 0])
-        d = d.at[:, -1].add(tb * a_local[:, -1])
-        inv_diag = 1.0 / d
-
-        def psum(x):
-            return jax.lax.psum(x, MODEL_AXIS)
-
-        def matvec(p):
-            return sharded_apply_operator(a_local, p, n)
-
-        x = jnp.zeros_like(f_local)
-        r = f_local
-        z = inv_diag * r
-        p = z
-        rz = psum(jnp.sum(r * z))
-
-        def it(_, carry):
-            x, r, p, rz = carry
-            Ap = matvec(p)
-            pAp = psum(jnp.sum(p * Ap))
-            alpha = jnp.where(pAp > 0.0, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = inv_diag * r
-            rz_new = psum(jnp.sum(r * z))
-            beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz > 0.0, rz, 1.0), 0.0)
-            p = z + beta * p
-            return x, r, p, rz_new
-
-        x, _, _, _ = jax.lax.fori_loop(0, n_iters, it, (x, r, p, rz))
-        return x
-
     out = jax.shard_map(
-        body,
+        lambda al, fl: solve_cg_local(al, fl, n, n_iters),
         mesh=mesh,
         in_specs=(P(MODEL_AXIS), P(MODEL_AXIS)),
         out_specs=P(MODEL_AXIS),
-    )(a, f2)
+    )(a, f.reshape(n, n))
     return out.reshape(-1)
 
 

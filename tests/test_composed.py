@@ -1,0 +1,122 @@
+"""Composed ('chains', 'model') mesh (round-1 VERDICT item 9): chain-parallel
+pCN where EACH chain's Darcy forward solve is row-sharded over 'model'.
+
+Two anchors:
+- mesh-shape invariance: (8,1), (4,2), (2,4), (1,8) all produce the same
+  chains (keys depend only on (step, global chain id); solver converged to
+  float noise so psum reduction order cannot flip accept decisions),
+- equality with the 1-device product path: a plain vmap-over-chains loop
+  built on ``models.darcy.solve_cg`` with the identical key derivation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ip_mcmc_tpu.models import darcy
+from ip_mcmc_tpu.parallel import composed
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+N_GRID, N_CHAINS, N_SAMPLES, BURN, BETA, NOISE, CG = 16, 16, 40, 20, 0.3, 0.05, 150
+
+
+def _setup():
+    fwd, aux = darcy.make_darcy_forward(
+        n_grid=N_GRID, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+    )
+    u_true = jax.random.normal(jax.random.key(300), (64,))
+    y = fwd(u_true) + NOISE * jax.random.normal(
+        jax.random.key(301), (len(aux["obs_indices"]),)
+    )
+    u0 = jax.random.normal(jax.random.key(5), (N_CHAINS, 64))
+    return aux, y, u0
+
+
+def _run(mesh_shape):
+    aux, y, u0 = _setup()
+    mesh = composed.make_composed_mesh(*mesh_shape)
+    samples, acc = composed.sample_composed_pcn(
+        aux, y, NOISE, beta=BETA, mesh=mesh, u0=u0,
+        base_key=jax.random.key(9), n_samples=N_SAMPLES, burn_in=BURN,
+        cg_iters=CG,
+    )
+    return np.asarray(samples), float(acc)
+
+
+def test_mesh_shape_invariance():
+    ref_samples, ref_acc = _run((8, 1))
+    for shape in [(4, 2), (2, 4), (1, 8)]:
+        s, a = _run(shape)
+        np.testing.assert_allclose(s, ref_samples, rtol=0, atol=1e-5,
+                                   err_msg=f"mesh {shape}")
+        assert a == pytest.approx(ref_acc, abs=1e-6)
+
+
+def test_matches_single_device_product_path():
+    """The composed program on a (2, 4) mesh equals a plain single-device
+    vmap-over-chains pCN loop built on models.darcy.solve_cg (the product's
+    'cg' forward path) with the identical key derivation."""
+    aux, y, u0 = _setup()
+    basis3 = jnp.asarray(aux["scaled_basis"], jnp.float32).reshape(
+        64, N_GRID, N_GRID
+    )
+    f = jnp.asarray(aux["source"], jnp.float32)
+    obs_idx = np.asarray(aux["obs_indices"])
+
+    def misfit(ub):  # (c, K) -> (c,)
+        log_a = jnp.einsum("ck,krn->crn", ub, basis3)
+        a = jnp.exp(log_a)
+        sol = jax.vmap(
+            lambda a2: darcy.solve_cg(a2, f, N_GRID, n_iters=CG,
+                                      precond="jacobi")
+        )(a)
+        pred = sol[:, obs_idx]
+        r = (y[None, :] - pred) / NOISE
+        return 0.5 * jnp.sum(r * r, axis=1)
+
+    base_key = jax.random.key(9)
+
+    @jax.jit
+    def run_reference(u0):
+        gidx = jnp.arange(N_CHAINS)
+
+        def step(carry, t):
+            u, phi = carry
+            keys = jax.vmap(
+                lambda g: jax.random.fold_in(jax.random.fold_in(base_key, t), g)
+            )(gidx)
+            xi = jax.vmap(
+                lambda k: jax.random.normal(jax.random.fold_in(k, 0), (64,))
+            )(keys)
+            log_u = jnp.log(
+                jax.vmap(
+                    lambda k: jax.random.uniform(jax.random.fold_in(k, 1))
+                )(keys)
+            )
+            v = jnp.sqrt(1.0 - BETA**2) * u + BETA * xi
+            phi_v = misfit(v)
+            acc = log_u < (phi - phi_v)
+            u = jnp.where(acc[:, None], v, u)
+            phi = jnp.where(acc, phi_v, phi)
+            return (u, phi), (u, acc)
+
+        _, (us, accs) = jax.lax.scan(
+            step, (u0, misfit(u0)), jnp.arange(BURN + N_SAMPLES)
+        )
+        return us[BURN:], jnp.mean(accs.astype(jnp.float32))
+
+    ref_samples, ref_acc = run_reference(u0)
+    s, a = _run((2, 4))
+    # both solvers are Jacobi-PCG run to convergence (residual at float
+    # noise after 150 iters on a 16x16 grid); agreement is limited only by
+    # f32 reduction order, far inside the accept-decision margin
+    np.testing.assert_allclose(s, np.asarray(ref_samples), rtol=0, atol=1e-4)
+    assert a == pytest.approx(float(ref_acc), abs=1e-6)
+    # the chains actually move (acceptance is high — the 0.05-noise
+    # posterior is broad — so check motion directly)
+    assert a > 0.05
+    assert np.std(s[-1] - s[0]) > 1e-3
