@@ -279,6 +279,34 @@ def darcy_pcn_4096() -> Problem:
 
 
 @register
+def darcy_composed_pcn() -> Problem:
+    """Composed ('chains', 'model') mesh: Darcy pCN with chain sharding AND
+    each chain's forward solve row-sharded over the 'model' axis — the two
+    parallelism axes in one program (SURVEY.md §2.3; parallel/composed.py).
+    Mesh shape is auto-derived from the device count; on one chip this is a
+    (1, 1) mesh (the composed program ≡ the single-device run — tested)."""
+    phi, prior, y, u_true, _ = _darcy_problem()
+    _, aux = darcy.make_darcy_forward(
+        n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+    )
+    return Problem(
+        name="darcy_composed_pcn",
+        dim=64,
+        prior=prior,
+        potential_fn=phi,
+        kernel="pcn_composed",
+        kernel_params={"beta": 0.08, "cg_iters": 150, "aux": aux,
+                       "noise_scale": 0.002},
+        n_chains=512,
+        n_samples=300,
+        burn_in=300,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="grid-sharded forward solves UNDER chain sharding",
+    )
+
+
+@register
 def darcy_pcn_warm() -> Problem:
     """Warm-started fused pCN on Darcy: the CG solution rides the kernel
     state, proposal solves start from it (16 iterations ≈ cold 32 at equal

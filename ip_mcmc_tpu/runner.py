@@ -196,6 +196,10 @@ def run_problem(
         metrics = _run_pt(problem, key, n_chains, n_samples)
         return _finalize(metrics, metrics_log, t_start)
 
+    if problem.kernel == "pcn_composed":
+        metrics = _run_composed(problem, key, n_chains, n_samples)
+        return _finalize(metrics, metrics_log, t_start)
+
     vi_extra = {}
     if problem.kernel_params.get("vi_init"):
         vi_extra = _vi_warm_start(problem, jax.random.fold_in(key, 71))
@@ -602,6 +606,67 @@ def _vi_warm_start(problem, key):
         "vi_final_elbo": float(np.asarray(elbo_trace)[-50:].mean()),
         "init_potential_vi": float(np.asarray(phi_v(vi_pos)).mean()),
         "init_potential_prior": float(np.asarray(phi_v(prior_pos)).mean()),
+    }
+
+
+def _run_composed(problem, key, n_chains, n_samples):
+    """Composed ('chains', 'model') mesh path (kernel='pcn_composed'):
+    chain-parallel pCN where EACH chain's Darcy forward solve is row-sharded
+    over the 'model' axis (parallel/composed.py — SURVEY.md §2.3 reserved
+    axis made concrete). Mesh shape auto-derived from the device count
+    (override via kernel_params['mesh_shape'])."""
+    from ip_mcmc_tpu.parallel import composed
+
+    kp = dict(problem.kernel_params)
+    aux = kp.pop("aux")
+    noise_scale = kp.pop("noise_scale")
+    beta = kp.get("beta", 0.2)
+    cg_iters = kp.get("cg_iters", 150)
+    mesh_shape = kp.get("mesh_shape")
+    n_grid = int(aux["n_grid"])
+    if mesh_shape is None:
+        n_dev = len(jax.devices())
+        m = next(
+            (c for c in (4, 2) if n_dev % c == 0 and n_grid % c == 0), 1
+        )
+        mesh_shape = (n_dev // m, m)
+    mesh = composed.make_composed_mesh(*mesh_shape)
+    key_init, key_run = jax.random.split(key)
+    u0 = problem.init_positions(key_init, n_chains)
+
+    def _sample():
+        return composed.sample_composed_pcn(
+            aux, problem.data, noise_scale, beta=beta, mesh=mesh, u0=u0,
+            base_key=key_run, n_samples=n_samples, burn_in=problem.burn_in,
+            thin=problem.thin, cg_iters=cg_iters,
+        )
+
+    t0 = time.perf_counter()
+    out = _sample()
+    jax.block_until_ready(out[0])
+    compile_and_run_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    samples, acc = _sample()
+    jax.block_until_ready(samples)
+    run_s = time.perf_counter() - t0
+
+    summ = diagnostics.summarize(samples)
+    total_steps = problem.burn_in + n_samples * problem.thin
+    return {
+        "config": problem.name,
+        "kernel": "pcn(composed chains x model)",
+        "mesh_shape": list(mesh_shape),
+        "n_chains": int(n_chains),
+        "n_samples": int(n_samples),
+        "dim": int(problem.dim),
+        "compile_s": max(compile_and_run_s - run_s, 0.0),
+        "run_s": run_s,
+        "steps_per_s": n_chains * total_steps / run_s,
+        "min_ess": float(summ["min_ess"]),
+        "ess_per_s": float(summ["min_ess"]) / run_s,
+        "max_rhat": float(summ["max_rhat"]),
+        "accept_rate": float(acc),
+        "posterior_mean": np.asarray(summ["mean"]).tolist(),
     }
 
 

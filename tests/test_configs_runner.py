@@ -33,6 +33,7 @@ def test_unknown_config_raises():
         ("lingauss_pcn", 64, 100),
         ("burgers_pcn", 32, 40),
         ("burgers_multitime_pcn", 32, 40),
+        ("darcy_composed_pcn", 16, 10),
     ],
 )
 def test_mcmc_configs_run(name, n_chains, n_samples):
