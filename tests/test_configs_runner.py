@@ -108,6 +108,17 @@ def test_darcy32_warm_config_runs():
     assert 0.0 < m["accept_rate"] < 1.0
 
 
+def test_darcy64_warm_config_runs():
+    """64x64-grid fused warm pCN (dst_trunc preconditioner) through the
+    runner (interpret mode) — the big-grid fused capability."""
+    p = configs.build("darcy64_pcn_warm")
+    p.kernel_params["block_chains"] = 16
+    p.burn_in = 3
+    m = runner.run_problem(p, key=jax.random.key(0), n_chains=16, n_samples=4)
+    assert m["kernel"] == "pcn(fused)"
+    assert 0.0 < m["accept_rate"] < 1.0
+
+
 def test_darcy_fes_fused_config_runs():
     p = configs.build("darcy_fes_fused")
     p.kernel_params["block_chains"] = 64

@@ -454,6 +454,80 @@ def test_warm_dst_matches_jacobi_acceptance():
         darcy.make_batched_misfit_warm(aux, y, 0.002, precond="amg")
 
 
+def test_truncated_dst_equals_dense_at_full_rank():
+    """At K = n² with a zero Jacobi term, the truncated two-level
+    preconditioner IS the dense Kronecker fast-Poisson apply (f32)."""
+    from ip_mcmc_tpu.models import darcy
+
+    n = 16
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(np.exp(0.4 * rng.standard_normal((n * n, 8))), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((n * n, 8)), jnp.float32)
+    dense = darcy._flat_dst_preconditioner(n, a, precond_dtype=jnp.float32)(r)
+    trunc = darcy._flat_truncated_dst_preconditioner(
+        n, a, 0.0, n * n, precond_dtype=jnp.float32
+    )(r)
+    np.testing.assert_allclose(np.asarray(trunc), np.asarray(dense),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_truncated_dst_beats_jacobi_convergence():
+    """n = 32 (past the dense factors' reach): trunc-128 PCG at 8 iterations
+    beats 48 Jacobi iterations by orders of magnitude in residual — the
+    measurement behind switching darcy32_pcn_warm off Jacobi."""
+    from ip_mcmc_tpu.models import darcy
+
+    n = 32
+    rng = np.random.default_rng(1)
+    fwd, aux = darcy.make_darcy_forward(n_grid=n, n_modes_per_dim=8,
+                                        alpha=2.0, field_scale=10.0)
+    basis_t = jnp.asarray(np.asarray(aux["scaled_basis"]).T)
+    U = jnp.asarray(rng.standard_normal((64, 4)), jnp.float32)
+    a = jnp.exp(basis_t @ U)
+    masks = darcy._flat_masks(n)
+    t_h, t_v = darcy._flat_transmissibilities(a, n, masks)
+    b = jnp.ones((n * n, 4), jnp.float32)
+    inv_diag = 1.0 / darcy._operator_diagonal_flat(a, n, masks, t_h, t_v)
+
+    def resid(x):
+        r = b - darcy._apply_operator_flat(a, x, n, masks, t_h, t_v)
+        return float(jnp.max(jnp.linalg.norm(r, axis=0)
+                             / jnp.linalg.norm(b, axis=0)))
+
+    xj = darcy._cg_flat(a, b, n, masks, t_h, t_v, inv_diag, 48)
+    inv_m = darcy._flat_truncated_dst_preconditioner(n, a, inv_diag, 128)
+    xt = darcy._cg_flat(a, b, n, masks, t_h, t_v, None, 8, inv_m=inv_m)
+    assert resid(xt) < 1e-3
+    assert resid(xt) < 0.5 * resid(xj)
+
+
+def test_warm_dst_trunc_matches_jacobi_acceptance():
+    """Truncated-DST warm CG at n = 32 through the FUSED kernel: same
+    acceptance as a deep Jacobi warm path on identical streams (the
+    preconditioner changes the solver path, not the solution)."""
+    from ip_mcmc_tpu import distributions as dist
+    from ip_mcmc_tpu.models import darcy
+    from ip_mcmc_tpu.ops import fused_pcn_chain_warm
+
+    fwd, aux = darcy.make_darcy_forward(n_grid=32, n_modes_per_dim=8,
+                                        alpha=2.0, field_scale=10.0)
+    K = 64
+    noise = dist.DiagGaussian(mean=jnp.zeros(16), scale=0.002 * jnp.ones(16))
+    u_true = jax.random.normal(jax.random.key(310), (K,))
+    y = fwd(u_true) + noise.sample(jax.random.key(311))
+    pj, adj = darcy.make_batched_misfit_warm(aux, y, 0.002, cg_iters=48)
+    pt, adt = darcy.make_batched_misfit_warm(aux, y, 0.002, cg_iters=6,
+                                             precond="dst_trunc",
+                                             precond_modes=128)
+    pos = jax.random.normal(jax.random.key(1), (32, K)) * 0.3
+    kw = dict(prior_mean=np.zeros(K), prior_scale=np.ones(K), beta=0.08,
+              seed=5, n_steps=25, block_chains=32)
+    _, aj = fused_pcn_chain_warm(pj, pos, aux_dim=adj, **kw)
+    _, at = fused_pcn_chain_warm(pt, pos, aux_dim=adt, **kw)
+    np.testing.assert_allclose(float(np.asarray(aj).mean()),
+                               float(np.asarray(at).mean()), atol=0.06)
+
+
 def test_fused_pcn_dense_prior_invariance_and_posterior():
     """Dense-prior fused pCN: with Φ ≡ 0 the chain leaves the CORRELATED
     prior invariant (cross-covariance reproduced); with a misfit it matches
