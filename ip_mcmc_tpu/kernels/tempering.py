@@ -272,6 +272,8 @@ def adapt_ladder(
     pcn_step=0.25,
     beta_min=0.05,
     gain=0.6,
+    mutation="pcn",
+    step_size=0.05,
 ):
     """Equi-acceptance ladder adaptation with FIXED endpoints (ROADMAP P2;
     Miasojedow–Moulines–Vihola 2013 style): β_1 = 1 and β_T = ``beta_min``
@@ -293,20 +295,44 @@ def adapt_ladder(
     centering the update. γ_k = gain/(1+k)^0.6.
 
     ``positions``: (n_chains, d) initial cold positions (replicated across
-    the ladder). Returns (pt_states (chains-batched PTState), betas (T,)).
+    the ladder).
+
+    ``mutation``: "pcn" (default, derivative-free) or "mala" — the ladder
+    is adapted while running the SAME mutation kernel the production run
+    will use (ROADMAP P2: ladder adaptation composes with MALA). The swap
+    statistics depend on the betas and the replica-Φ distribution; running
+    the production mutation during adaptation means that distribution is
+    the one the frozen ladder will actually see. ``step_size`` is the MALA
+    step (ignored for pCN).
+
+    Returns (pt_states (chains-batched PTState or PTMalaState, matching
+    ``mutation``), betas (T,)).
     """
+    if mutation not in ("pcn", "mala"):
+        raise ValueError(f"mutation must be 'pcn' or 'mala', got {mutation!r}")
     positions = jnp.asarray(positions)
     n_chains = positions.shape[0]
     dtype = positions.dtype
     # equal gap shares == the geometric ladder from 1 to beta_min
     rho0 = jnp.zeros((n_temps - 1,), dtype)
 
-    states = jax.vmap(lambda p: init(p, potential_fn, n_temps))(positions)
+    if mutation == "mala":
+        states = jax.vmap(
+            lambda p: init_mala(p, potential_fn, n_temps)
+        )(positions)
+        make_kernel = lambda betas: build_mala_kernel(
+            potential_fn, prior, betas, step_size=step_size
+        )
+    else:
+        states = jax.vmap(lambda p: init(p, potential_fn, n_temps))(positions)
+        make_kernel = lambda betas: build_kernel(
+            potential_fn, prior, betas, pcn_step=pcn_step
+        )
 
     def body(carry, step_idx):
         sts, rho = carry
         betas = betas_from_shares(rho, beta_min)
-        kernel = build_kernel(potential_fn, prior, betas, pcn_step=pcn_step)
+        kernel = make_kernel(betas)
         keys = jax.random.split(
             jax.random.fold_in(base_key, step_idx), n_chains
         )

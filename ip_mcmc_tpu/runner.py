@@ -690,9 +690,9 @@ def _run_pt(problem, key, n_chains, n_samples):
 
     t0 = time.perf_counter()
     if kp.get("adapt_ladder", True):
-        # ladder adaptation always runs the (cheap, derivative-free) pCN
-        # mutation: swap rates depend on the betas/Φ distribution, not on
-        # the mutation used later
+        # ladder adaptation runs the SAME mutation the production run uses
+        # (ROADMAP P2): the equi-acceptance equilibrium depends on the
+        # replica-Φ distribution the mutation actually produces
         states, betas = tempering.adapt_ladder(
             phi, prior, positions, key_adapt,
             n_temps=n_temps,
@@ -700,8 +700,16 @@ def _run_pt(problem, key, n_chains, n_samples):
             target_swap=kp.get("target_swap", 0.4),
             pcn_step=pcn_step,
             beta_min=beta_min,
+            mutation=mutation,
+            step_size=kp.get("step_size", 0.05),
         )
         burn = 0
+    elif mutation == "mala":
+        betas = tempering.geometric_ladder(n_temps, beta_min)
+        states = driver.init_chains(
+            lambda p: tempering.init_mala(p, phi, n_temps), positions
+        )
+        burn = problem.burn_in
     else:
         betas = tempering.geometric_ladder(n_temps, beta_min)
         states = driver.init_chains(
@@ -710,12 +718,6 @@ def _run_pt(problem, key, n_chains, n_samples):
         burn = problem.burn_in
 
     if mutation == "mala":
-        pos = states.positions  # (chains, T, d)
-        pots, grads = jax.vmap(jax.vmap(jax.value_and_grad(phi)))(pos)
-        states = tempering.PTMalaState(
-            positions=pos, potentials=pots, phi_grads=grads,
-            parity=states.parity,
-        )
         kernel = tempering.build_mala_kernel(
             phi, prior, betas, step_size=kp.get("step_size", 0.05)
         )

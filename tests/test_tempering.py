@@ -160,6 +160,43 @@ class TestPTMala:
             rtol=1e-3, atol=1e-3,
         )
 
+    def test_adapt_ladder_composes_with_mala(self):
+        """adapt_ladder(mutation='mala') adapts the ladder while running the
+        MALA mutation kernel itself (ROADMAP P2): returns a PTMalaState the
+        frozen-ladder MALA kernel continues from directly, with a monotone
+        pinned-endpoint ladder and a consistent gradient cache."""
+        prior, phi = _bimodal_setup()
+        positions = prior.sample(jax.random.key(0), (128,))
+        states, betas = tempering.adapt_ladder(
+            phi, prior, positions, jax.random.key(1),
+            n_temps=5, num_steps=200, target_swap=0.4, beta_min=0.05,
+            mutation="mala", step_size=0.25,
+        )
+        assert isinstance(states, tempering.PTMalaState)
+        assert np.all(np.diff(np.asarray(betas)) < 0)
+        np.testing.assert_allclose(float(betas[0]), 1.0)
+        np.testing.assert_allclose(float(betas[-1]), 0.05, rtol=1e-4)
+        # Φ cache consistent after 200 adaptation steps of mutate+swap
+        np.testing.assert_allclose(
+            np.asarray(states.potentials),
+            np.asarray(jax.vmap(jax.vmap(phi))(states.positions)),
+            rtol=1e-4, atol=1e-4,
+        )
+        # the production kernel consumes the adapted state as-is
+        kernel = tempering.build_mala_kernel(phi, prior, betas, step_size=0.25)
+        keys = jax.random.split(jax.random.key(2), 128)
+        out, info = jax.vmap(kernel)(keys, states)
+        assert out.positions.shape == states.positions.shape
+        assert float(info.accept_rate.mean()) > 0.05
+
+    def test_adapt_ladder_rejects_unknown_mutation(self):
+        prior, phi = _bimodal_setup()
+        positions = prior.sample(jax.random.key(0), (8,))
+        with pytest.raises(ValueError, match="mutation"):
+            tempering.adapt_ladder(
+                phi, prior, positions, jax.random.key(1), mutation="hmc"
+            )
+
     def test_pt_mala_mixes_bimodal(self):
         """PT with MALA mutations crosses the modes of the bimodal target
         (gradient mutations alone would stay unimodal)."""
