@@ -361,17 +361,25 @@ def darcy_ess_fused() -> Problem:
 @register
 def darcy_fes_fused() -> Problem:
     """Fused functional ensemble sampler on Darcy: affine stretch moves on
-    the 8 leading KL modes (lane-roll partners within each block-ensemble)
-    + pCN complement — self-tunes to posterior correlations."""
+    the leading KL modes (lane-roll partners within each block-ensemble)
+    + pCN complement — self-tunes to posterior correlations. The stretch
+    dimension is chosen by the spectral-energy criterion ("auto": smallest
+    M capturing 90% of the field's KL eigenvalue mass — 6 modes for this
+    α=2 Laplacian spectrum; kernels.ensemble.choose_n_low_modes)."""
     phi, prior, y, u_true, phi_batched = _darcy_problem()
+    # the field spectrum behind the whitened parameterization (same geometry
+    # as _darcy_problem's make_darcy_forward call)
+    _, ij = kl.sine_basis_2d(8, 16)
+    lam = kl.laplacian_eigenvalues_2d(ij, alpha=2.0, scale=10.0)
     return Problem(
         name="darcy_fes_fused",
         dim=64,
         prior=prior,
         potential_fn=phi,
         kernel="fes",
-        kernel_params={"fused": True, "n_low_modes": 8, "pcn_beta": 0.08,
-                       "block_chains": 256},
+        kernel_params={"fused": True, "n_low_modes": "auto",
+                       "kl_eigenvalues": lam, "energy_frac": 0.9,
+                       "pcn_beta": 0.08, "block_chains": 256},
         n_chains=4096,
         n_samples=400,
         burn_in=300,

@@ -26,8 +26,37 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ip_mcmc_tpu.utils.struct import pytree_dataclass
+
+
+def choose_n_low_modes(eigenvalues, energy_frac=0.9, min_modes=2,
+                       max_modes=None):
+    """Spectral-energy criterion for the stretch-move dimension (ROADMAP P2):
+    the smallest M whose leading-M KL eigenvalue mass reaches ``energy_frac``
+    of the total spectrum. The affine move pays per dimension — its expected
+    acceptance degrades as the stretch block grows (Coullon–Webber 2020 §3,
+    PAPERS.md) — so it should span exactly the modes that carry the field's
+    energy; the dimension-robust pCN complement absorbs the tail.
+
+    ``eigenvalues``: the KL spectrum of the underlying field (e.g. Darcy's
+    ``aux["eigenvalues"]``), NOT the whitened sampler-side prior scale (which
+    is isotropic by construction and carries no mode preference). Returns a
+    static Python int — call before ``build_kernel`` (M is a compile-time
+    constant in both the scan and fused kernels)."""
+    lam = np.sort(np.asarray(eigenvalues, dtype=np.float64))[::-1]
+    if lam.size == 0 or not np.all(np.isfinite(lam)) or np.any(lam < 0):
+        raise ValueError("eigenvalues must be a finite nonnegative spectrum")
+    total = lam.sum()
+    if total <= 0:
+        raise ValueError("eigenvalue spectrum sums to zero")
+    frac = np.cumsum(lam) / total
+    m = int(np.searchsorted(frac, energy_frac) + 1)
+    m = max(m, int(min_modes))
+    if max_modes is not None:
+        m = min(m, int(max_modes))
+    return min(m, int(lam.size))
 
 
 @pytree_dataclass

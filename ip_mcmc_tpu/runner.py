@@ -297,6 +297,31 @@ def run_problem(
     return _finalize(metrics, metrics_log, t_start, accept_trace=trace)
 
 
+def _resolve_n_low_modes(kp, problem):
+    """FES stretch dimension: explicit int, or "auto" → the spectral-energy
+    criterion (kernels.ensemble.choose_n_low_modes) over the KL spectrum the
+    config supplies as kernel_params["kl_eigenvalues"] (whitened samplers
+    hide the spectrum in the forward map, so the config must pass it)."""
+    m = kp.get("n_low_modes")
+    if m == "auto":
+        from ip_mcmc_tpu.kernels import ensemble
+
+        lam = kp.get("kl_eigenvalues")
+        if lam is None:
+            raise ValueError(
+                'n_low_modes="auto" needs kernel_params["kl_eigenvalues"] '
+                "(the field's KL spectrum; the whitened prior scale is "
+                "isotropic and carries no mode preference)"
+            )
+        return ensemble.choose_n_low_modes(
+            lam, energy_frac=kp.get("energy_frac", 0.9),
+            max_modes=problem.dim,
+        )
+    if m is None:
+        return min(8, problem.dim)
+    return int(m)
+
+
 def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
     """The fully fused Pallas path (kernel_params={'fused': True}) for
     pCN / MALA / RWM: burn-in launch + recorded sampling launch, diagnostics
@@ -316,7 +341,7 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
 
     if problem.kernel == "fes":
         run_kw = dict(prior_mean=pm, prior_scale=ps,
-                      n_low_modes=kp.get("n_low_modes", min(8, problem.dim)),
+                      n_low_modes=_resolve_n_low_modes(kp, problem),
                       pcn_beta=kp.get("pcn_beta", 0.2),
                       stretch_a=kp.get("stretch_a", 2.0))
         chain, chain_rec = ops.fused_fes_chain, ops.fused_fes_chain_recorded
@@ -491,7 +516,7 @@ def _run_fes(problem, key, n_chains, n_samples):
     def _sample():
         return ensemble.sample_fes(
             problem.potential_fn, problem.prior, positions, key_run,
-            kp.get("n_low_modes", min(8, problem.dim)),
+            _resolve_n_low_modes(kp, problem),
             stretch_a=kp.get("stretch_a", 2.0),
             pcn_beta=kp.get("pcn_beta", 0.2),
             n_samples=n_samples, burn_in=problem.burn_in, thin=problem.thin,

@@ -111,3 +111,53 @@ class TestMeshInvariance:
             n_samples=50, burn_in=10,
         )
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+
+class TestChooseNLowModes:
+    def test_known_spectrum(self):
+        # 0.5, 0.25, 0.125, ... cumulative: .5, .75, .875, .9375 ...
+        lam = 0.5 ** np.arange(1, 9)
+        assert ensemble.choose_n_low_modes(lam, energy_frac=0.7) == 2
+        assert ensemble.choose_n_low_modes(lam, energy_frac=0.9) == 4
+        # monotone in energy_frac
+        ms = [ensemble.choose_n_low_modes(lam, energy_frac=f)
+              for f in (0.5, 0.7, 0.9, 0.99)]
+        assert ms == sorted(ms)
+
+    def test_sorts_defensively_and_clamps(self):
+        lam = np.array([0.1, 4.0, 0.05, 2.0])
+        # descending mass: 4, 2 → 6/6.15 ≈ 0.976
+        assert ensemble.choose_n_low_modes(lam, energy_frac=0.95) == 2
+        assert ensemble.choose_n_low_modes(lam, energy_frac=0.95,
+                                           min_modes=3) == 3
+        assert ensemble.choose_n_low_modes(lam, energy_frac=0.999,
+                                           max_modes=2) == 2
+
+    def test_rejects_bad_spectra(self):
+        import pytest
+        with pytest.raises(ValueError):
+            ensemble.choose_n_low_modes(np.array([]))
+        with pytest.raises(ValueError):
+            ensemble.choose_n_low_modes(np.array([1.0, -0.5]))
+        with pytest.raises(ValueError):
+            ensemble.choose_n_low_modes(np.zeros(4))
+
+    def test_darcy_fes_auto_resolves(self):
+        """The darcy_fes_fused config's "auto" stretch dimension resolves via
+        the KL spectrum (α=2 Laplacian decay → a handful of modes at 90%)."""
+        from ip_mcmc_tpu import configs
+        from ip_mcmc_tpu.runner import _resolve_n_low_modes
+
+        p = configs.build("darcy_fes_fused")
+        m = _resolve_n_low_modes(dict(p.kernel_params), p)
+        assert isinstance(m, int)
+        assert 2 <= m <= 16, m
+
+    def test_auto_without_spectrum_raises(self):
+        import pytest
+        from ip_mcmc_tpu import configs
+        from ip_mcmc_tpu.runner import _resolve_n_low_modes
+
+        p = configs.build("lingauss_fes")
+        with pytest.raises(ValueError, match="kl_eigenvalues"):
+            _resolve_n_low_modes({"n_low_modes": "auto"}, p)
