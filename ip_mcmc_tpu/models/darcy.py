@@ -723,9 +723,28 @@ def make_batched_misfit_mala_warm(aux, data, noise_scale, cg_iters: int = 8,
     return pag, 2 * N
 
 
+def choose_pod_rank(singular_values, energy_tol: float = 1e-6,
+                    min_rank: int = 2, max_rank=None):
+    """Energy criterion for the POD rank (ROADMAP P2): the smallest r whose
+    DISCARDED squared-singular-value mass is below ``energy_tol`` of the
+    total — i.e. the snapshot set is reproduced to relative L2 energy error
+    √energy_tol by the rank-r basis. Static Python int (offline)."""
+    s2 = np.square(np.asarray(singular_values, np.float64))
+    if s2.size == 0 or s2.sum() <= 0:
+        raise ValueError("singular values must be a nonempty positive set")
+    tail = 1.0 - np.cumsum(s2) / s2.sum()
+    r = int(np.searchsorted(-tail, -energy_tol) + 1)
+    r = max(r, int(min_rank))
+    if max_rank is not None:
+        r = min(r, int(max_rank))
+    return min(r, int(s2.size))
+
+
 def make_pod_surrogate(aux, data, noise_scale, key, n_snapshots: int = 64,
-                       rank: int = 20, log_a_mean: float = 0.0,
-                       prior_scale=None):
+                       rank=20, log_a_mean: float = 0.0,
+                       prior_scale=None, energy_tol: float = 1e-6,
+                       greedy_rounds: int = 0, n_candidates: int = 128,
+                       greedy_batch: int = 8, return_info: bool = False):
     """Data-driven reduced-order misfit (PAPERS.md: Cui–Marzouk–Willcox
     1403.4290 — model reduction for Bayesian inversion): OFFLINE, solve the
     full Darcy problem at ``n_snapshots`` prior draws and take the rank-r
@@ -739,7 +758,19 @@ def make_pod_surrogate(aux, data, noise_scale, key, n_snapshots: int = 64,
     model. Any surrogate error is REMOVED by delayed acceptance
     (``kernels.da_pcn``): use this as the ``surrogate_fn``.
 
-    Returns phi_r(u): (K,) → scalar, vmappable.
+    ``rank="auto"`` sizes the basis with ``choose_pod_rank(energy_tol)``
+    from the snapshot spectrum. ``greedy_rounds > 0`` enriches the snapshot
+    set by the WEAK-GREEDY reduced-basis recipe: each round draws
+    ``n_candidates`` fresh prior points, scores them with the CHEAP reduced
+    RESIDUAL indicator ‖A(a) V c − f‖ / ‖f‖ (r stencil applies each — no
+    full solve), and runs full solves only for the ``greedy_batch`` worst,
+    appending them as snapshots. That targets offline work at the prior
+    regions the current basis covers worst, instead of spending every full
+    solve on i.i.d. draws.
+
+    Returns phi_r(u): (K,) → scalar, vmappable — or ``(phi_r, info)`` when
+    ``return_info`` (info: chosen rank, singular values, per-round max/mean
+    residual indicators — the error history that justifies the rank).
     """
     data = jnp.asarray(data, jnp.float32)
     noise_scale = jnp.asarray(noise_scale, jnp.float32)
@@ -752,17 +783,53 @@ def make_pod_surrogate(aux, data, noise_scale, key, n_snapshots: int = 64,
     # ---- offline: snapshots at prior draws, POD via SVD ----
     if prior_scale is None:
         prior_scale = jnp.ones((K,), jnp.float32)
-    draws = jnp.asarray(prior_scale) * jax.random.normal(
-        key, (n_snapshots, K)
-    )
+    prior_scale = jnp.asarray(prior_scale)
+    key, key0 = jax.random.split(jax.random.key(key) if isinstance(key, int)
+                                 else key)
+    draws = prior_scale * jax.random.normal(key0, (n_snapshots, K))
 
     def full_solve(u):
         a = jnp.exp(log_a_mean + u @ basis).reshape(n, n)
         return solve_cg(a, f, n, n_iters=120, precond="dst")
 
-    snapshots = jax.vmap(full_solve)(draws)  # (S, n²)
-    _, _, vt = jnp.linalg.svd(snapshots, full_matrices=False)
-    V = vt[:rank].T  # (n², r) orthonormal columns
+    full_solve_v = jax.jit(jax.vmap(full_solve))
+    snapshots = full_solve_v(draws)  # (S, n²)
+
+    def _pod(snaps):
+        _, s, vt = jnp.linalg.svd(snaps, full_matrices=False)
+        r = (choose_pod_rank(s, energy_tol, max_rank=snaps.shape[0])
+             if rank == "auto" else int(rank))
+        return vt[:r].T, s, r  # V: (n², r) orthonormal columns
+
+    def _reduced_residual(V, u):
+        """‖A(a) V c − f‖/‖f‖ for the reduced solution c — the classic RB
+        a-posteriori indicator, no full solve needed."""
+        a = jnp.exp(log_a_mean + u @ basis).reshape(n, n)
+        AV = jax.vmap(
+            lambda col: apply_operator(a, col.reshape(n, n), n).reshape(-1),
+            in_axes=1, out_axes=1,
+        )(V)
+        Ar = V.T @ AV
+        L = jnp.linalg.cholesky(Ar)
+        c = jax.scipy.linalg.cho_solve((L, True), V.T @ f)
+        return jnp.linalg.norm(AV @ c - f) / jnp.linalg.norm(f)
+
+    residual_history = []
+    for _ in range(int(greedy_rounds)):
+        V, s, r = _pod(snapshots)
+        key, key_c = jax.random.split(key)
+        cands = prior_scale * jax.random.normal(key_c, (n_candidates, K))
+        res = jax.jit(jax.vmap(lambda u: _reduced_residual(V, u)))(cands)
+        res_np = np.asarray(res)
+        residual_history.append(
+            {"max": float(res_np.max()), "mean": float(res_np.mean())}
+        )
+        worst = np.argsort(res_np)[-int(greedy_batch):]
+        snapshots = jnp.concatenate(
+            [snapshots, full_solve_v(cands[worst])], axis=0
+        )
+
+    V, s, r = _pod(snapshots)
     Vt_f = V.T @ f  # (r,)
     obs_V = V[obs_indices]  # (m, r)
 
@@ -779,6 +846,14 @@ def make_pod_surrogate(aux, data, noise_scale, key, n_snapshots: int = 64,
         res = (data - pred) / noise_scale
         return 0.5 * jnp.sum(res * res)
 
+    if return_info:
+        info = {
+            "rank": int(r),
+            "n_snapshots": int(snapshots.shape[0]),
+            "singular_values": np.asarray(s),
+            "residual_history": residual_history,
+        }
+        return phi_r, info
     return phi_r
 
 

@@ -143,3 +143,55 @@ class TestPODSurrogate:
         m = runner.run_problem(p)
         assert m["kernel"] == "da_pcn"
         assert 0.0 < m["accept_rate"] <= 1.0
+
+    def test_choose_pod_rank_energy_criterion(self):
+        from ip_mcmc_tpu.models import darcy
+
+        # squared energies 0.5, 0.25, ...: tail after r is 2^-r
+        s = np.sqrt(0.5 ** np.arange(1, 21))
+        assert darcy.choose_pod_rank(s, energy_tol=0.3) == 2
+        assert darcy.choose_pod_rank(s, energy_tol=1e-3) == 10
+        assert darcy.choose_pod_rank(s, energy_tol=1e-3, max_rank=4) == 4
+        # min_rank floor engages when the criterion would pick rank 1
+        assert darcy.choose_pod_rank(s, energy_tol=0.9) == 2
+        import pytest
+        with pytest.raises(ValueError):
+            darcy.choose_pod_rank(np.array([]))
+
+    def test_pod_auto_rank_and_greedy_enrichment(self):
+        """rank="auto" sizes the basis from the snapshot spectrum, and
+        weak-greedy rounds append full solves at the worst reduced-residual
+        candidates (ROADMAP P2), without degrading surrogate quality."""
+        from ip_mcmc_tpu import configs
+        from ip_mcmc_tpu.models import darcy
+
+        p = configs.build("darcy_da_pod")
+        _, aux = darcy.make_darcy_forward(
+            n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+        )
+        y = p.data
+        base, info0 = darcy.make_pod_surrogate(
+            aux, y, 0.002, jax.random.key(5), n_snapshots=32, rank="auto",
+            energy_tol=1e-8, return_info=True,
+        )
+        assert 2 <= info0["rank"] <= 32
+        assert info0["n_snapshots"] == 32
+        enr, info1 = darcy.make_pod_surrogate(
+            aux, y, 0.002, jax.random.key(5), n_snapshots=32, rank="auto",
+            energy_tol=1e-8, greedy_rounds=2, n_candidates=64,
+            greedy_batch=8, return_info=True,
+        )
+        assert info1["n_snapshots"] == 32 + 16
+        assert len(info1["residual_history"]) == 2
+        # enrichment tightens (or at least does not inflate) the indicator
+        # across rounds (fresh candidate sets each round → generous margin)
+        assert (info1["residual_history"][-1]["mean"]
+                <= info1["residual_history"][0]["mean"] * 1.5)
+        # quality on fresh validation draws: enriched surrogate tracks the
+        # full misfit at least as well as the base one (generous margin for
+        # MC noise)
+        u = p.prior.sample(jax.random.key(123), (24,))
+        exact = np.asarray(jax.vmap(p.potential_fn)(u))
+        e_base = np.abs(np.asarray(jax.vmap(base)(u)) - exact).mean()
+        e_enr = np.abs(np.asarray(jax.vmap(enr)(u)) - exact).mean()
+        assert e_enr <= e_base * 1.2, (e_base, e_enr)
