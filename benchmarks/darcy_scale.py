@@ -53,7 +53,11 @@ def _bench_warm(label, n_grid, n_modes, misfit_kw, beta, n_chains, block,
             block_chains=block,
         )
 
-    f, a = run(4)  # compile
+    # compile at the TIMED n_steps: the step count is a static constant of
+    # the fused program, so warming at a different n_steps leaves the timed
+    # call paying a full recompile (~20 s — it swamped the round-2 first-cut
+    # darcy64 number, 74K steps/s reported vs ~2M steady-state)
+    f, a = run(n_steps)
     jax.block_until_ready(f)
     t0 = time.perf_counter()
     f, acc = run(n_steps)
@@ -106,6 +110,10 @@ def main(argv=None):
                     steps32, 5),
         _bench_warm("darcy64 warm dst_trunc-8 x256 modes (first fused 64)",
                     64, 12, dict(cg_iters=8, precond="dst_trunc",
+                                 precond_modes=256), 0.06, 2048, 128,
+                    steps64, 6),
+        _bench_warm("darcy64 warm dst_trunc-4 x256 modes",
+                    64, 12, dict(cg_iters=4, precond="dst_trunc",
                                  precond_modes=256), 0.06, 2048, 128,
                     steps64, 6),
     ]
