@@ -307,6 +307,35 @@ def darcy_composed_pcn() -> Problem:
 
 
 @register
+def darcy_composed_mala() -> Problem:
+    """Composed ('chains', 'model') mesh with GRADIENT-based sampling
+    (ROADMAP P2: the composed mesh beyond pCN): MALA whose ∇Φ comes from the
+    distributed adjoint solve — forward CG, adjoint CG, and face-derivative
+    assembly all row-sharded over 'model', vmapped over each group's chain
+    block (parallel/composed.py sample_composed_mala; gradient tested
+    against implicit AD in tests/test_composed.py)."""
+    phi, prior, y, u_true, _ = _darcy_problem()
+    _, aux = darcy.make_darcy_forward(
+        n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+    )
+    return Problem(
+        name="darcy_composed_mala",
+        dim=64,
+        prior=prior,
+        potential_fn=phi,
+        kernel="mala_composed",
+        kernel_params={"step_size": 0.05, "cg_iters": 150, "aux": aux,
+                       "noise_scale": 0.002},
+        n_chains=512,
+        n_samples=300,
+        burn_in=300,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="distributed adjoint gradients under chain sharding",
+    )
+
+
+@register
 def darcy_pcn_warm() -> Problem:
     """Warm-started fused pCN on Darcy: the CG solution rides the kernel
     state, proposal solves start from it (16 iterations ≈ cold 32 at equal

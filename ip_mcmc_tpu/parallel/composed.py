@@ -159,3 +159,235 @@ def sample_composed_pcn(
         check_vma=False,
     )(u0, basis3, f2, obs3)
     return samples, acc
+
+
+def _grad_wrt_a_local(a_local, x_local, lam_local, n, axis_name=MODEL_AXIS):
+    """Local row block of ∇_a[λᵀ A(a) x] — the harmonic-mean face derivative
+    (mirrors models.darcy's flat-layout phi_bwd, re-derived for the
+    row-sharded layout): horizontal faces are shard-local, vertical faces
+    use one-row halos of a, x, λ; halo-zero rows mark the global boundary
+    (no face → masked)."""
+    h2 = float(n * n)
+    nd = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    a_above, a_below = grid_shard._halo_exchange_rows(a_local, axis_name)
+    x_above, x_below = grid_shard._halo_exchange_rows(x_local, axis_name)
+    l_above, l_below = grid_shard._halo_exchange_rows(lam_local, axis_name)
+
+    g = jnp.zeros_like(a_local)
+    # horizontal faces (within rows — local): ∂t/∂a_i = 2h²(a_j/(a_i+a_j))²
+    den_h = a_local[:, :-1] + a_local[:, 1:]
+    s_h = (x_local[:, :-1] - x_local[:, 1:]) * (
+        lam_local[:, :-1] - lam_local[:, 1:]
+    )
+    g = g.at[:, :-1].add(2.0 * h2 * jnp.square(a_local[:, 1:] / den_h) * s_h)
+    g = g.at[:, 1:].add(2.0 * h2 * jnp.square(a_local[:, :-1] / den_h) * s_h)
+
+    # vertical faces on the halo-extended block
+    a_ext = jnp.concatenate([a_above[None], a_local, a_below[None]], axis=0)
+    x_ext = jnp.concatenate([x_above[None], x_local, x_below[None]], axis=0)
+    l_ext = jnp.concatenate([l_above[None], lam_local, l_below[None]], axis=0)
+    den_v = a_ext[:-1] + a_ext[1:]
+    face = (a_ext[:-1] > 0.0) & (a_ext[1:] > 0.0)  # halo zeros = no face
+    den_v = jnp.where(face, den_v, 1.0)
+    s_v = jnp.where(
+        face,
+        (x_ext[:-1] - x_ext[1:]) * (l_ext[:-1] - l_ext[1:]),
+        0.0,
+    )
+    up = 2.0 * h2 * jnp.square(a_ext[1:] / den_v) * s_v  # → upper cell
+    lo = 2.0 * h2 * jnp.square(a_ext[:-1] / den_v) * s_v  # → lower cell
+    # local row r = ext row r+1: face below has index r+1, face above r
+    g = g + up[1:] + lo[:-1]
+
+    # global Dirichlet boundary terms: ∂(t_b p)/∂a = 2h² x λ per side
+    tb = 2.0 * h2
+    zero = jnp.zeros((n,), a_local.dtype)
+    g = g.at[0].add(
+        jnp.where(idx == 0, tb * x_local[0] * lam_local[0], zero)
+    )
+    g = g.at[-1].add(
+        jnp.where(idx == nd - 1, tb * x_local[-1] * lam_local[-1], zero)
+    )
+    g = g.at[:, 0].add(tb * x_local[:, 0] * lam_local[:, 0])
+    g = g.at[:, -1].add(tb * x_local[:, -1] * lam_local[:, -1])
+    return g
+
+
+def _local_value_and_grad(ub, basis_loc, f_loc, obs_loc, y, scale, n,
+                          cg_iters, log_a_mean):
+    """Per-shard (Φ, ∇_uΦ) for a (c_loc, K) chain block: distributed forward
+    solve + distributed ADJOINT solve (same operator, symmetric) + the face
+    derivative — the adjoint method of models.darcy's custom_vjp, running on
+    the row-sharded grid. Collectives (ppermute halos, psum dots) are
+    vmapped over the local chain block."""
+    log_a = jnp.einsum("ck,krn->crn", ub, basis_loc) + log_a_mean
+    a = jnp.exp(log_a)
+    sol = jax.vmap(
+        lambda al: grid_shard.solve_cg_local(al, f_loc, n, cg_iters)
+    )(a)
+    pred = jax.lax.psum(jnp.einsum("mrn,crn->cm", obs_loc, sol), MODEL_AXIS)
+    r = (y[None, :] - pred) / scale
+    phi = 0.5 * jnp.sum(r * r, axis=1)
+    # adjoint rhs: ∂Φ/∂x = −Oᵀ(r/σ); Oᵀ maps obs → grid rows, shard-local
+    rhs = -jnp.einsum("mrn,cm->crn", obs_loc, r / scale)
+    lam = jax.vmap(
+        lambda al, rl: grid_shard.solve_cg_local(al, rl, n, cg_iters)
+    )(a, rhs)
+    g_a = jax.vmap(
+        lambda al, xl, ll: _grad_wrt_a_local(al, xl, ll, n)
+    )(a, sol, lam)
+    g_loga = a * (-g_a)  # chain rule a = exp(log a); sign: δΦ = −λᵀ δA x
+    g_u = jax.lax.psum(
+        jnp.einsum("krn,crn->ck", basis_loc, g_loga), MODEL_AXIS
+    )
+    return phi, g_u
+
+
+def composed_misfit_and_grad(aux, data, noise_scale, mesh, u,
+                             cg_iters=150, log_a_mean=0.0):
+    """(Φ(u), ∇Φ(u)) for a (n_chains, K) batch on a ('chains','model') mesh
+    — the distributed adjoint gradient, exposed for direct testing against
+    ``jax.grad`` of the single-device misfit."""
+    n = int(aux["n_grid"])
+    K = u.shape[1]
+    basis3 = jnp.asarray(aux["scaled_basis"], jnp.float32).reshape(K, n, n)
+    f2 = jnp.asarray(aux["source"], jnp.float32).reshape(n, n)
+    obs_idx = np.asarray(aux["obs_indices"])
+    m = len(obs_idx)
+    obs_mat = np.zeros((m, n * n), np.float32)
+    obs_mat[np.arange(m), obs_idx] = 1.0
+    obs3 = jnp.asarray(obs_mat).reshape(m, n, n)
+    y = jnp.asarray(data, jnp.float32)
+    scale = jnp.float32(noise_scale)
+
+    phi, g = jax.shard_map(
+        lambda ul, bl, fl, ol: _local_value_and_grad(
+            ul, bl, fl, ol, y, scale, n, cg_iters, log_a_mean
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(CHAIN_AXIS, None),
+            P(None, MODEL_AXIS, None),
+            P(MODEL_AXIS, None),
+            P(None, MODEL_AXIS, None),
+        ),
+        out_specs=(P(CHAIN_AXIS), P(CHAIN_AXIS, None)),
+        check_vma=False,
+    )(u, basis3, f2, obs3)
+    return phi, g
+
+
+def sample_composed_mala(
+    aux,
+    data,
+    noise_scale,
+    *,
+    step_size,
+    mesh,
+    u0,
+    base_key,
+    n_samples,
+    burn_in=0,
+    thin=1,
+    cg_iters=150,
+    log_a_mean=0.0,
+):
+    """MALA on the Darcy posterior over a ('chains', 'model') mesh (ROADMAP
+    P2: the composed mesh beyond pCN): gradient proposals whose ∇Φ comes
+    from the distributed ADJOINT solve — forward CG, adjoint CG, and the
+    face-derivative assembly all run on the row-sharded grid, vmapped over
+    each device group's chain block. Whitened prior N(0, I) folded into the
+    drift and acceptance. Key derivation matches sample_composed_pcn
+    ((step, global chain id) only → mesh-shape invariant).
+
+    Returns (samples (n_samples, n_chains, K), accept_rate)."""
+    n = int(aux["n_grid"])
+    K = u0.shape[1]
+    n_chain_groups, n_model = mesh.devices.shape
+    if u0.shape[0] % n_chain_groups:
+        raise ValueError("n_chains must divide the 'chains' axis")
+    if n % n_model:
+        raise ValueError("n_grid must divide the 'model' axis")
+
+    basis3 = jnp.asarray(aux["scaled_basis"], jnp.float32).reshape(K, n, n)
+    f2 = jnp.asarray(aux["source"], jnp.float32).reshape(n, n)
+    obs_idx = np.asarray(aux["obs_indices"])
+    m = len(obs_idx)
+    obs_mat = np.zeros((m, n * n), np.float32)
+    obs_mat[np.arange(m), obs_idx] = 1.0
+    obs3 = jnp.asarray(obs_mat).reshape(m, n, n)
+    y = jnp.asarray(data, jnp.float32)
+    scale = jnp.float32(noise_scale)
+    eps = jnp.float32(step_size)
+    total_steps = burn_in + n_samples * thin
+
+    def body(u_loc, basis_loc, f_loc, obs_loc):
+        c_loc = u_loc.shape[0]
+        cidx = jax.lax.axis_index(CHAIN_AXIS)
+        gidx = cidx * c_loc + jnp.arange(c_loc)
+
+        def vg(ub):
+            return _local_value_and_grad(
+                ub, basis_loc, f_loc, obs_loc, y, scale, n, cg_iters,
+                log_a_mean,
+            )
+
+        def drift(ub, g_phi):  # ∇ log π = −∇Φ − u (whitened prior)
+            return -g_phi - ub
+
+        def step(carry, t):
+            u, phi, g = carry
+            keys = jax.vmap(
+                lambda gi: jax.random.fold_in(
+                    jax.random.fold_in(base_key, t), gi
+                )
+            )(gidx)
+            xi = jax.vmap(
+                lambda k: jax.random.normal(jax.random.fold_in(k, 0), (K,))
+            )(keys)
+            log_u = jnp.log(
+                jax.vmap(
+                    lambda k: jax.random.uniform(jax.random.fold_in(k, 1))
+                )(keys)
+            )
+            mean_fwd = u + 0.5 * eps * eps * drift(u, g)
+            v = mean_fwd + eps * xi
+            phi_v, g_v = vg(v)
+            mean_rev = v + 0.5 * eps * eps * drift(v, g_v)
+            inv2e2 = 1.0 / (2.0 * eps * eps)
+            log_q_rev = -jnp.sum(jnp.square(u - mean_rev), axis=1) * inv2e2
+            log_q_fwd = -0.5 * jnp.sum(xi * xi, axis=1)
+            logpi_u = -phi - 0.5 * jnp.sum(u * u, axis=1)
+            logpi_v = -phi_v - 0.5 * jnp.sum(v * v, axis=1)
+            log_ratio = logpi_v - logpi_u + log_q_rev - log_q_fwd
+            log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+            acc = log_u < log_ratio
+            u = jnp.where(acc[:, None], v, u)
+            phi = jnp.where(acc, phi_v, phi)
+            g = jnp.where(acc[:, None], g_v, g)
+            return (u, phi, g), (u, acc)
+
+        phi0, g0 = vg(u_loc)
+        _, (us, accs) = jax.lax.scan(
+            step, (u_loc, phi0, g0), jnp.arange(total_steps)
+        )
+        samples = us[burn_in + thin - 1 :: thin][:n_samples]
+        acc_rate = jax.lax.pmean(
+            jnp.mean(accs.astype(jnp.float32)), CHAIN_AXIS
+        )
+        return samples, acc_rate
+
+    samples, acc = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(CHAIN_AXIS, None),
+            P(None, MODEL_AXIS, None),
+            P(MODEL_AXIS, None),
+            P(None, MODEL_AXIS, None),
+        ),
+        out_specs=(P(None, CHAIN_AXIS, None), P()),
+        check_vma=False,
+    )(u0, basis3, f2, obs3)
+    return samples, acc

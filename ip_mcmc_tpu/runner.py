@@ -196,7 +196,7 @@ def run_problem(
         metrics = _run_pt(problem, key, n_chains, n_samples)
         return _finalize(metrics, metrics_log, t_start)
 
-    if problem.kernel == "pcn_composed":
+    if problem.kernel in ("pcn_composed", "mala_composed"):
         metrics = _run_composed(problem, key, n_chains, n_samples)
         return _finalize(metrics, metrics_log, t_start)
 
@@ -635,17 +635,17 @@ def _vi_warm_start(problem, key):
 
 
 def _run_composed(problem, key, n_chains, n_samples):
-    """Composed ('chains', 'model') mesh path (kernel='pcn_composed'):
-    chain-parallel pCN where EACH chain's Darcy forward solve is row-sharded
-    over the 'model' axis (parallel/composed.py — SURVEY.md §2.3 reserved
-    axis made concrete). Mesh shape auto-derived from the device count
-    (override via kernel_params['mesh_shape'])."""
+    """Composed ('chains', 'model') mesh path (kernel='pcn_composed' or
+    'mala_composed'): chain-parallel sampling where EACH chain's Darcy
+    forward solve is row-sharded over the 'model' axis (parallel/composed.py
+    — SURVEY.md §2.3 reserved axis made concrete); the MALA variant adds the
+    distributed ADJOINT solve for its gradient. Mesh shape auto-derived from
+    the device count (override via kernel_params['mesh_shape'])."""
     from ip_mcmc_tpu.parallel import composed
 
     kp = dict(problem.kernel_params)
     aux = kp.pop("aux")
     noise_scale = kp.pop("noise_scale")
-    beta = kp.get("beta", 0.2)
     cg_iters = kp.get("cg_iters", 150)
     mesh_shape = kp.get("mesh_shape")
     n_grid = int(aux["n_grid"])
@@ -659,12 +659,25 @@ def _run_composed(problem, key, n_chains, n_samples):
     key_init, key_run = jax.random.split(key)
     u0 = problem.init_positions(key_init, n_chains)
 
-    def _sample():
-        return composed.sample_composed_pcn(
-            aux, problem.data, noise_scale, beta=beta, mesh=mesh, u0=u0,
-            base_key=key_run, n_samples=n_samples, burn_in=problem.burn_in,
-            thin=problem.thin, cg_iters=cg_iters,
-        )
+    if problem.kernel == "mala_composed":
+        def _sample():
+            return composed.sample_composed_mala(
+                aux, problem.data, noise_scale,
+                step_size=kp.get("step_size", 0.05), mesh=mesh, u0=u0,
+                base_key=key_run, n_samples=n_samples,
+                burn_in=problem.burn_in, thin=problem.thin,
+                cg_iters=cg_iters,
+            )
+    else:
+        beta = kp.get("beta", 0.2)
+
+        def _sample():
+            return composed.sample_composed_pcn(
+                aux, problem.data, noise_scale, beta=beta, mesh=mesh, u0=u0,
+                base_key=key_run, n_samples=n_samples,
+                burn_in=problem.burn_in, thin=problem.thin,
+                cg_iters=cg_iters,
+            )
 
     t0 = time.perf_counter()
     out = _sample()
@@ -679,7 +692,7 @@ def _run_composed(problem, key, n_chains, n_samples):
     total_steps = problem.burn_in + n_samples * problem.thin
     return {
         "config": problem.name,
-        "kernel": "pcn(composed chains x model)",
+        "kernel": f"{problem.kernel.split('_')[0]}(composed chains x model)",
         "mesh_shape": list(mesh_shape),
         "n_chains": int(n_chains),
         "n_samples": int(n_samples),

@@ -120,3 +120,61 @@ def test_matches_single_device_product_path():
     # posterior is broad — so check motion directly)
     assert a > 0.05
     assert np.std(s[-1] - s[0]) > 1e-3
+
+
+def _plain_misfit(aux, y, noise):
+    """Single-device reference misfit built on the dense-graph solve path."""
+    n = int(aux["n_grid"])
+    basis = jnp.asarray(aux["scaled_basis"])
+    f = jnp.asarray(aux["source"]).reshape(-1)
+    obs = jnp.asarray(np.asarray(aux["obs_indices"]))
+
+    def phi(u):
+        a = jnp.exp(u @ basis).reshape(n, n)
+        sol = darcy.solve_cg(a, f, n, n_iters=CG, precond="jacobi")
+        r = (jnp.asarray(y) - sol[obs]) / NOISE
+        return 0.5 * jnp.sum(r * r)
+
+    return phi
+
+
+class TestComposedMala:
+    def test_distributed_adjoint_gradient_matches_ad(self):
+        """The composed-mesh value-and-grad (distributed forward + adjoint
+        solves + face-derivative assembly) matches jax.value_and_grad of the
+        plain single-device misfit (implicit AD through custom_linear_solve)."""
+        aux, y, u0 = _setup()
+        u = u0[:8]
+        mesh = composed.make_composed_mesh(2, 4)
+        phi_c, g_c = composed.composed_misfit_and_grad(
+            aux, y, NOISE, mesh, u, cg_iters=CG
+        )
+        phi_ref, g_ref = jax.vmap(
+            jax.value_and_grad(_plain_misfit(aux, y, NOISE))
+        )(u)
+        np.testing.assert_allclose(
+            np.asarray(phi_c), np.asarray(phi_ref), rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_c), np.asarray(g_ref), rtol=2e-3, atol=2e-3
+        )
+
+    def test_mala_mesh_shape_invariance(self):
+        aux, y, u0 = _setup()
+
+        def run(shape):
+            mesh = composed.make_composed_mesh(*shape)
+            s, a = composed.sample_composed_mala(
+                aux, y, NOISE, step_size=0.05, mesh=mesh, u0=u0,
+                base_key=jax.random.key(9), n_samples=10, burn_in=5,
+                cg_iters=CG,
+            )
+            return np.asarray(s), float(a)
+
+        ref_s, ref_a = run((8, 1))
+        assert 0.05 < ref_a <= 1.0, ref_a
+        for shape in [(2, 4), (1, 8)]:
+            s, a = run(shape)
+            np.testing.assert_allclose(s, ref_s, rtol=0, atol=2e-4,
+                                       err_msg=f"mesh {shape}")
+            assert a == pytest.approx(ref_a, abs=1e-6)
