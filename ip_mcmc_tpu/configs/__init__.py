@@ -336,6 +336,35 @@ def darcy_composed_mala() -> Problem:
 
 
 @register
+def darcy_composed_ess() -> Problem:
+    """Composed ('chains', 'model') mesh with TUNING-FREE sampling: elliptical
+    slice sampling (kernels/elliptical.py's transition, SPMD-reshaped) whose
+    fixed-trip shrinkage loop keeps the vmapped ppermute/psum collective
+    schedule uniform across each 'model' group (parallel/composed.py
+    sample_composed_elliptical; equality with a plain single-device
+    reimplementation tested in tests/test_composed.py)."""
+    phi, prior, y, u_true, _ = _darcy_problem()
+    _, aux = darcy.make_darcy_forward(
+        n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+    )
+    return Problem(
+        name="darcy_composed_ess",
+        dim=64,
+        prior=prior,
+        potential_fn=phi,
+        kernel="ess_composed",
+        kernel_params={"cg_iters": 150, "aux": aux, "noise_scale": 0.002,
+                       "max_shrink": 20},
+        n_chains=512,
+        n_samples=300,
+        burn_in=300,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="rejection-free slice sampling on grid-sharded solves",
+    )
+
+
+@register
 def darcy_pcn_warm() -> Problem:
     """Warm-started fused pCN on Darcy: the CG solution rides the kernel
     state, proposal solves start from it (16 iterations ≈ cold 32 at equal

@@ -278,6 +278,165 @@ def composed_misfit_and_grad(aux, data, noise_scale, mesh, u,
     return phi, g
 
 
+def sample_composed_elliptical(
+    aux,
+    data,
+    noise_scale,
+    *,
+    mesh,
+    u0,
+    base_key,
+    n_samples,
+    burn_in=0,
+    thin=1,
+    cg_iters=150,
+    log_a_mean=0.0,
+    max_shrink=20,
+):
+    """Elliptical slice sampling on the Darcy posterior over a
+    ('chains', 'model') mesh (ROADMAP P2: composed mesh beyond pCN/MALA) —
+    the tuning-free kernel of ``kernels/elliptical.py`` re-shaped for the
+    SPMD program: the per-chain shrinkage loop becomes a masked
+    ``while_loop`` over the local chain BLOCK (exit when every chain has
+    accepted, capped at ``max_shrink``), so every device in a 'model' group
+    executes the identical collective schedule (vmapped ppermute/psum
+    distributed solves) — chain data is replicated across the group, so the
+    done-masks agree device-to-device by construction. The exit test is made
+    GLOBALLY uniform (a scalar psum of the remaining-chain count over
+    'chains' rides the loop carry), so every device in the mesh runs the
+    same trip count — per-group early exit would be algorithmically fine (no
+    collective crosses 'chains' in the body) but can deadlock runtimes whose
+    collective rendezvous is channel-global. Masked updates make the samples
+    independent of the trip count either way.
+
+    θ → 0 is the guaranteed-accept fallback (u' = u beats the slice level
+    by definition), so a chain that exhausts ``max_shrink`` keeps its
+    position — same capped-iteration semantics as the single-device kernel.
+
+    Keys derive from (step, global chain id) only → mesh-shape invariant
+    like ``sample_composed_pcn``. Whitened prior N(0, I) (mean 0), matching
+    the darcy configs. Returns (samples (n_samples, n_chains, K),
+    mean forward evaluations per step)."""
+    n = int(aux["n_grid"])
+    K = u0.shape[1]
+    n_chain_groups, n_model = mesh.devices.shape
+    if u0.shape[0] % n_chain_groups:
+        raise ValueError("n_chains must divide the 'chains' axis")
+    if n % n_model:
+        raise ValueError("n_grid must divide the 'model' axis")
+
+    basis3 = jnp.asarray(aux["scaled_basis"], jnp.float32).reshape(K, n, n)
+    f2 = jnp.asarray(aux["source"], jnp.float32).reshape(n, n)
+    obs_idx = np.asarray(aux["obs_indices"])
+    m = len(obs_idx)
+    obs_mat = np.zeros((m, n * n), np.float32)
+    obs_mat[np.arange(m), obs_idx] = 1.0
+    obs3 = jnp.asarray(obs_mat).reshape(m, n, n)
+    y = jnp.asarray(data, jnp.float32)
+    scale = jnp.float32(noise_scale)
+    two_pi = jnp.float32(2.0 * np.pi)
+    total_steps = burn_in + n_samples * thin
+
+    def body(u_loc, basis_loc, f_loc, obs_loc):
+        c_loc = u_loc.shape[0]
+        cidx = jax.lax.axis_index(CHAIN_AXIS)
+        gidx = cidx * c_loc + jnp.arange(c_loc)
+
+        def misfit(ub):  # (c_loc, K) -> (c_loc,)
+            log_a = jnp.einsum("ck,krn->crn", ub, basis_loc) + log_a_mean
+            a = jnp.exp(log_a)
+            sol = jax.vmap(
+                lambda al: grid_shard.solve_cg_local(al, f_loc, n, cg_iters)
+            )(a)
+            pred = jax.lax.psum(
+                jnp.einsum("mrn,crn->cm", obs_loc, sol), MODEL_AXIS
+            )
+            r = (y[None, :] - pred) / scale
+            return 0.5 * jnp.sum(r * r, axis=1)
+
+        def step(carry, t):
+            u, phi = carry
+            keys = jax.vmap(
+                lambda g: jax.random.fold_in(jax.random.fold_in(base_key, t), g)
+            )(gidx)
+            nu = jax.vmap(
+                lambda k: jax.random.normal(jax.random.fold_in(k, 0), (K,))
+            )(keys)
+            log_w = jnp.log(
+                jax.vmap(
+                    lambda k: jax.random.uniform(jax.random.fold_in(k, 1))
+                )(keys)
+            )
+            theta0 = jax.vmap(
+                lambda k: jax.random.uniform(
+                    jax.random.fold_in(k, 2), minval=0.0, maxval=two_pi
+                )
+            )(keys)
+            log_y = -phi + log_w  # slice level
+
+            def shrink_cond(st):
+                i, remaining = st[0], st[1]
+                return (i < max_shrink) & (remaining > 0)
+
+            def shrink(st):
+                i, _, u_new, phi_new, theta, lo, hi, done, n_ev = st
+                v = (
+                    u * jnp.cos(theta)[:, None]
+                    + nu * jnp.sin(theta)[:, None]
+                )
+                phi_v = misfit(v)  # uniform collective schedule: all chains
+                acc = (-phi_v > log_y) & ~done
+                u_new = jnp.where(acc[:, None], v, u_new)
+                phi_new = jnp.where(acc, phi_v, phi_new)
+                n_ev = n_ev + jnp.where(done, 0.0, 1.0)
+                done = done | acc
+                # shrink bracket toward 0 for still-running chains
+                lo = jnp.where(done | (theta >= 0.0), lo, theta)
+                hi = jnp.where(done | (theta < 0.0), hi, theta)
+                us01 = jax.vmap(
+                    lambda k: jax.random.uniform(jax.random.fold_in(k, 3 + i))
+                )(keys)
+                theta = jnp.where(done, theta, lo + us01 * (hi - lo))
+                remaining = jax.lax.psum(
+                    jnp.sum((~done).astype(jnp.int32)), CHAIN_AXIS
+                )
+                return (i + 1, remaining, u_new, phi_new, theta, lo, hi,
+                        done, n_ev)
+
+            done0 = jnp.zeros((c_loc,), bool)
+            n_ev0 = jnp.zeros((c_loc,), jnp.float32)
+            _, _, u_new, phi_new, *_rest, n_ev = jax.lax.while_loop(
+                shrink_cond,
+                shrink,
+                (0, jnp.int32(c_loc), u, phi, theta0, theta0 - two_pi,
+                 theta0, done0, n_ev0),
+            )
+            # exhausted chains keep u (θ→0 guaranteed-accept fallback)
+            return (u_new, phi_new), (u_new, n_ev)
+
+        phi0 = misfit(u_loc)
+        _, (us, n_evs) = jax.lax.scan(
+            step, (u_loc, phi0), jnp.arange(total_steps)
+        )
+        samples = us[burn_in + thin - 1 :: thin][:n_samples]
+        mean_evals = jax.lax.pmean(jnp.mean(n_evs), CHAIN_AXIS)
+        return samples, mean_evals
+
+    samples, mean_evals = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(CHAIN_AXIS, None),
+            P(None, MODEL_AXIS, None),
+            P(MODEL_AXIS, None),
+            P(None, MODEL_AXIS, None),
+        ),
+        out_specs=(P(None, CHAIN_AXIS, None), P()),
+        check_vma=False,
+    )(u0, basis3, f2, obs3)
+    return samples, mean_evals
+
+
 def sample_composed_mala(
     aux,
     data,

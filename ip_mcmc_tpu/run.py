@@ -39,6 +39,12 @@ def main(argv=None):
         help="write JSON-lines metric records (run summary + accept trace)",
     )
     ap.add_argument(
+        "--tensorboard", default=None, metavar="LOGDIR",
+        help="export the run's metric records as a TensorBoard event file "
+        "under LOGDIR (scalar dashboard; utils/tensorboard.py — no "
+        "tensorboard package needed to write)",
+    )
+    ap.add_argument(
         "--fused", action="store_true",
         help="use the fully fused Pallas path (pCN configs with a batched "
         "potential: darcy_pcn_4096, burgers_pcn)",
@@ -64,6 +70,13 @@ def main(argv=None):
         from ip_mcmc_tpu import parallel
 
         mesh = parallel.make_chain_mesh(n_devices=args.devices)
+    metrics_log = args.metrics_log
+    if args.tensorboard and metrics_log is None:
+        # TB export reads the JSONL records; synthesize a log next to it
+        import os
+
+        os.makedirs(args.tensorboard, exist_ok=True)
+        metrics_log = os.path.join(args.tensorboard, "metrics.jsonl")
     metrics = runner.run_problem(
         problem,
         key=jax.random.key(args.seed),
@@ -71,8 +84,14 @@ def main(argv=None):
         n_samples=args.n_samples,
         profile_dir=args.profile_dir,
         mesh=mesh,
-        metrics_log=args.metrics_log,
+        metrics_log=metrics_log,
     )
+    if args.tensorboard:
+        from ip_mcmc_tpu.utils.tensorboard import export_jsonl
+
+        metrics["tensorboard_events"] = export_jsonl(
+            metrics_log, args.tensorboard
+        )
     json.dump(metrics, sys.stdout)
     sys.stdout.write("\n")
     return 0

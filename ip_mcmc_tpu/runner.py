@@ -196,7 +196,7 @@ def run_problem(
         metrics = _run_pt(problem, key, n_chains, n_samples)
         return _finalize(metrics, metrics_log, t_start)
 
-    if problem.kernel in ("pcn_composed", "mala_composed"):
+    if problem.kernel in ("pcn_composed", "mala_composed", "ess_composed"):
         metrics = _run_composed(problem, key, n_chains, n_samples)
         return _finalize(metrics, metrics_log, t_start)
 
@@ -659,7 +659,16 @@ def _run_composed(problem, key, n_chains, n_samples):
     key_init, key_run = jax.random.split(key)
     u0 = problem.init_positions(key_init, n_chains)
 
-    if problem.kernel == "mala_composed":
+    if problem.kernel == "ess_composed":
+        def _sample():
+            return composed.sample_composed_elliptical(
+                aux, problem.data, noise_scale, mesh=mesh, u0=u0,
+                base_key=key_run, n_samples=n_samples,
+                burn_in=problem.burn_in, thin=problem.thin,
+                cg_iters=cg_iters,
+                max_shrink=kp.get("max_shrink", 20),
+            )
+    elif problem.kernel == "mala_composed":
         def _sample():
             return composed.sample_composed_mala(
                 aux, problem.data, noise_scale,
@@ -703,7 +712,10 @@ def _run_composed(problem, key, n_chains, n_samples):
         "min_ess": float(summ["min_ess"]),
         "ess_per_s": float(summ["min_ess"]) / run_s,
         "max_rhat": float(summ["max_rhat"]),
-        "accept_rate": float(acc),
+        # elliptical is rejection-free: the second output is the mean
+        # forward-evaluation count per step, not an acceptance probability
+        ("mean_evals_per_step" if problem.kernel == "ess_composed"
+         else "accept_rate"): float(acc),
         "posterior_mean": np.asarray(summ["mean"]).tolist(),
     }
 

@@ -178,3 +178,103 @@ class TestComposedMala:
             np.testing.assert_allclose(s, ref_s, rtol=0, atol=2e-4,
                                        err_msg=f"mesh {shape}")
             assert a == pytest.approx(ref_a, abs=1e-6)
+
+
+class TestComposedElliptical:
+    def test_matches_single_device_and_mesh_invariance(self):
+        """Composed elliptical slice sampling equals an independent plain
+        vmap-over-chains reimplementation (same fixed-shrink schedule, same
+        key derivation, built on models.darcy.solve_cg), and is mesh-shape
+        invariant. Algorithmic correctness of the ESS transition itself is
+        covered by tests/test_elliptical.py's distributional suite."""
+        aux, y, u0 = _setup()
+        max_shrink = 12
+        n_samp, burn = 12, 6
+        basis3 = jnp.asarray(aux["scaled_basis"], jnp.float32).reshape(
+            64, N_GRID, N_GRID
+        )
+        f = jnp.asarray(aux["source"], jnp.float32)
+        obs_idx = np.asarray(aux["obs_indices"])
+        base_key = jax.random.key(9)
+
+        def misfit(ub):  # (c, K) -> (c,)
+            a = jnp.exp(jnp.einsum("ck,krn->crn", ub, basis3))
+            sol = jax.vmap(
+                lambda a2: darcy.solve_cg(a2, f, N_GRID, n_iters=CG,
+                                          precond="jacobi")
+            )(a)
+            r = (y[None, :] - sol[:, obs_idx]) / NOISE
+            return 0.5 * jnp.sum(r * r, axis=1)
+
+        @jax.jit
+        def run_reference(u0):
+            gidx = jnp.arange(N_CHAINS)
+            two_pi = jnp.float32(2.0 * np.pi)
+
+            def step(carry, t):
+                u, phi = carry
+                keys = jax.vmap(
+                    lambda g: jax.random.fold_in(
+                        jax.random.fold_in(base_key, t), g)
+                )(gidx)
+                nu = jax.vmap(
+                    lambda k: jax.random.normal(jax.random.fold_in(k, 0),
+                                                (64,))
+                )(keys)
+                log_w = jnp.log(jax.vmap(
+                    lambda k: jax.random.uniform(jax.random.fold_in(k, 1))
+                )(keys))
+                theta0 = jax.vmap(
+                    lambda k: jax.random.uniform(
+                        jax.random.fold_in(k, 2), minval=0.0, maxval=two_pi)
+                )(keys)
+                log_y = -phi + log_w
+
+                def shrink(i, st):
+                    u_new, phi_new, theta, lo, hi, done = st
+                    v = (u * jnp.cos(theta)[:, None]
+                         + nu * jnp.sin(theta)[:, None])
+                    phi_v = misfit(v)
+                    acc = (-phi_v > log_y) & ~done
+                    u_new = jnp.where(acc[:, None], v, u_new)
+                    phi_new = jnp.where(acc, phi_v, phi_new)
+                    done = done | acc
+                    lo = jnp.where(done | (theta >= 0.0), lo, theta)
+                    hi = jnp.where(done | (theta < 0.0), hi, theta)
+                    us01 = jax.vmap(
+                        lambda k: jax.random.uniform(
+                            jax.random.fold_in(k, 3 + i))
+                    )(keys)
+                    theta = jnp.where(done, theta, lo + us01 * (hi - lo))
+                    return u_new, phi_new, theta, lo, hi, done
+
+                done0 = jnp.zeros((N_CHAINS,), bool)
+                u_new, phi_new, *_ = jax.lax.fori_loop(
+                    0, max_shrink, shrink,
+                    (u, phi, theta0, theta0 - two_pi, theta0, done0))
+                return (u_new, phi_new), u_new
+
+            _, us = jax.lax.scan(step, (u0, misfit(u0)),
+                                 jnp.arange(burn + n_samp))
+            return us[burn:]
+
+        ref = np.asarray(run_reference(u0))
+
+        def run(shape):
+            mesh = composed.make_composed_mesh(*shape)
+            s, ev = composed.sample_composed_elliptical(
+                aux, y, NOISE, mesh=mesh, u0=u0, base_key=base_key,
+                n_samples=n_samp, burn_in=burn, cg_iters=CG,
+                max_shrink=max_shrink,
+            )
+            return np.asarray(s), float(ev)
+
+        s81, ev = run((8, 1))
+        np.testing.assert_allclose(s81, ref, rtol=0, atol=1e-4)
+        # ESS is rejection-free: chains must move, and the expected
+        # evaluation count per step sits in the documented ~1-4 band
+        assert np.std(s81[-1] - s81[0]) > 1e-3
+        assert 1.0 <= ev <= float(max_shrink)
+        s24, ev24 = run((2, 4))
+        np.testing.assert_allclose(s24, s81, rtol=0, atol=1e-4)
+        assert ev24 == pytest.approx(ev, abs=1e-5)

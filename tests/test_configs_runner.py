@@ -34,10 +34,18 @@ def test_unknown_config_raises():
         ("burgers_pcn", 32, 40),
         ("burgers_multitime_pcn", 32, 40),
         ("darcy_composed_pcn", 16, 10),
+        ("darcy_composed_ess", 16, 10),
     ],
 )
 def test_mcmc_configs_run(name, n_chains, n_samples):
     p = configs.build(name)
+    if name == "darcy_composed_ess":
+        # smoke-size the slice-sampling config: each step costs ~2-4
+        # distributed 150-iter CG solves, so the production burn-in would
+        # dominate the suite on the CPU mesh
+        p.burn_in = 20
+        p.kernel_params = {**p.kernel_params, "cg_iters": 80,
+                           "max_shrink": 8}
     m = runner.run_problem(
         p, key=jax.random.key(0), n_chains=n_chains, n_samples=n_samples
     )
