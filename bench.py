@@ -28,6 +28,17 @@ Methodology (SURVEY.md §6, §7.3 item 6 — honest ESS accounting):
 
 from __future__ import annotations
 
+import os
+
+# Pin the oracle's BLAS/OMP environment BEFORE numpy import (round-2 VERDICT
+# weak #5: an unpinned oracle swung 1.6x between rounds — 1,030 vs 1,622
+# steps/s for identical code — making the round-over-round `vs_baseline`
+# trend unreadable). One thread = the reference's single-process deployment
+# model, and the most reproducible configuration.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ[_v] = "1"
+
 import json
 import sys
 import time
@@ -121,16 +132,21 @@ def main():
     )
 
     # ---- oracle side (reference-equivalent loop, single chain) ----------
+    # 3 repetitions, median steps/s (+ pinned BLAS threads above): the
+    # oracle row must be stable across rounds for vs_baseline to be a trend
     n_oracle = 300
-    rng_o = np.random.default_rng(1)
-    t0 = time.time()
-    _, oracle_accept = oracle.run_pcn(y, NOISE, BETA, n_oracle, rng_o)
-    oracle_s = time.time() - t0
-    oracle_steps_per_s = n_oracle / oracle_s
+    reps = []
+    for rep in range(3):
+        rng_o = np.random.default_rng(1)
+        t0 = time.time()
+        _, oracle_accept = oracle.run_pcn(y, NOISE, BETA, n_oracle, rng_o)
+        reps.append(n_oracle / (time.time() - t0))
+    oracle_steps_per_s = float(np.median(reps))
     oracle_ess_per_s = ess_per_step_chain * oracle_steps_per_s
     log(
-        f"oracle: {oracle_steps_per_s:,.1f} steps/s "
-        f"(accept={oracle_accept:.3f}) -> {oracle_ess_per_s:.3f} ESS/s"
+        f"oracle: {oracle_steps_per_s:,.1f} steps/s, median of "
+        f"{[f'{r:,.1f}' for r in reps]} (1 BLAS thread, accept="
+        f"{oracle_accept:.3f}) -> {oracle_ess_per_s:.3f} ESS/s"
     )
 
     ratio = tpu_ess_per_s / oracle_ess_per_s

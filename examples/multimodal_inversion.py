@@ -66,9 +66,9 @@ def main():
           "(should be 0.5; stuck near 0.0)")
 
     # --- 2. PT with a swap-rate-adapted ladder ----------------------------
-    pt_states, betas = tempering.adapt_ladder(
+    pt_states, betas, _ = tempering.adapt_ladder(
         phi, prior, positions, jax.random.key(2),
-        n_temps=6, num_steps=300, target_swap=0.4, pcn_step=0.4,
+        n_temps=6, num_steps=300, swap_center=0.4, pcn_step=0.4,
     )
     pt_kernel = tempering.build_kernel(phi, prior, betas, pcn_step=0.4)
     _, s_pt, info = driver.sample_chains(

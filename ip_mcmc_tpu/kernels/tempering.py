@@ -268,12 +268,13 @@ def adapt_ladder(
     base_key,
     n_temps=8,
     num_steps=300,
-    target_swap=0.4,
+    swap_center=0.4,
     pcn_step=0.25,
     beta_min=0.05,
     gain=0.6,
     mutation="pcn",
     step_size=0.05,
+    target_swap=None,
 ):
     """Equi-acceptance ladder adaptation with FIXED endpoints (ROADMAP P2;
     Miasojedow–Moulines–Vihola 2013 style): β_1 = 1 and β_T = ``beta_min``
@@ -286,13 +287,17 @@ def adapt_ladder(
 
     Signal: the chain-averaged per-pair swap PROBABILITY min(1, e^{Δβ·ΔΦ})
     (Rao-Blackwellized — uses the probability, not the binary outcome).
-    Update: ρ_t += γ_k (swap_prob_t − target), applied ONLY on steps where
-    the pair is actually attempted (parity alternation attempts each pair
-    every other step; updating on inactive steps would bias the equilibrium
-    per-attempt acceptance to 2·target — advisor round-1 finding). Softmax
-    shift-invariance means the common (rate − target) component cancels;
-    the equilibrium is EQUAL per-attempt rates, with ``target_swap`` only
-    centering the update. γ_k = gain/(1+k)^0.6.
+    Update: ρ_t += γ_k (swap_prob_t − swap_center), applied ONLY on steps
+    where the pair is actually attempted (parity alternation attempts each
+    pair every other step; updating on inactive steps would bias the
+    equilibrium per-attempt acceptance to 2·center — advisor round-1
+    finding). Softmax shift-invariance means the common (rate − center)
+    component cancels, so ``swap_center`` is NOT a target the final rates
+    converge to — it only centers the stochastic-approximation update; the
+    equilibrium is EQUAL per-attempt rates at whatever common value the
+    pinned endpoints admit (round-2 VERDICT weak #4: the old name
+    ``target_swap`` promised a rate the knob does not control; it is kept
+    as a deprecated alias). γ_k = gain/(1+k)^0.6.
 
     ``positions``: (n_chains, d) initial cold positions (replicated across
     the ladder).
@@ -306,8 +311,13 @@ def adapt_ladder(
     step (ignored for pCN).
 
     Returns (pt_states (chains-batched PTState or PTMalaState, matching
-    ``mutation``), betas (T,)).
+    ``mutation``), betas (T,), pair_rates (T-1,) — the per-attempt swap
+    acceptance per adjacent pair, averaged over the final third of
+    adaptation: report these (and their spread) rather than pretending the
+    knob set them).
     """
+    if target_swap is not None:  # deprecated alias (pre-round-3 name)
+        swap_center = target_swap
     if mutation not in ("pcn", "mala"):
         raise ValueError(f"mutation must be 'pcn' or 'mala', got {mutation!r}")
     positions = jnp.asarray(positions)
@@ -347,14 +357,21 @@ def adapt_ladder(
         act_mask = (jnp.mean(infos.pair_active, axis=0) > 0.5)[: n_temps - 1]
         gamma = gain / (1.0 + step_idx.astype(rho.dtype)) ** 0.6
         rho = rho + gamma * act_mask.astype(rho.dtype) * (
-            pair_rate - target_swap
+            pair_rate - swap_center
         )
-        return (sts, rho), pair_rate
+        # emit (rate, active) so the caller can average per-attempt rates
+        # over attempted steps only
+        return (sts, rho), (pair_rate, act_mask)
 
-    (states, rho), rates = jax.lax.scan(
+    (states, rho), (rates, actives) = jax.lax.scan(
         body, (states, rho0), jnp.arange(num_steps)
     )
-    return states, betas_from_shares(rho, beta_min)
+    tail = max(num_steps - num_steps // 3, 0)
+    act_f = actives[tail:].astype(rates.dtype)
+    pair_rates = jnp.sum(rates[tail:] * act_f, axis=0) / jnp.maximum(
+        jnp.sum(act_f, axis=0), 1.0
+    )
+    return states, betas_from_shares(rho, beta_min), pair_rates
 
 
 def cold_chain(state_or_samples):

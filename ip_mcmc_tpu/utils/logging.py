@@ -28,7 +28,16 @@ class MetricsLogger:
         self._t0 = time.time()
 
     def log(self, record: dict, **kw):
-        rec = {"t": round(time.time() - self._t0, 3), **record, **kw}
+        # "t": seconds since logger creation (readable deltas); "t_epoch":
+        # absolute wall clock, so exporters (utils/tensorboard.py) can stamp
+        # real wall_time instead of near-1970 values (ADVICE round 2).
+        now = time.time()
+        rec = {
+            "t": round(now - self._t0, 3),
+            "t_epoch": round(now, 3),
+            **record,
+            **kw,
+        }
         self._fh.write(json.dumps(rec, default=float) + "\n")
 
     def close(self):

@@ -105,13 +105,21 @@ def _event(wall_time: float, step: int | None = None,
 class TensorBoardWriter:
     """Minimal scalar-only event-file writer, TB-dashboard compatible."""
 
+    _uid = 0  # per-process monotonic suffix (see below)
+
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
-        fname = "events.out.tfevents.%010d.%s" % (
-            int(time.time()), socket.gethostname()
+        # pid + per-process counter in the name (as TF's writers do): two
+        # writers in the same second for the same logdir must not collide —
+        # a bare time.hostname name made the second open('wb') silently
+        # truncate the first (ADVICE round 2).
+        TensorBoardWriter._uid += 1
+        fname = "events.out.tfevents.%010d.%s.%d.%d" % (
+            int(time.time()), socket.gethostname(), os.getpid(),
+            TensorBoardWriter._uid,
         )
         self.path = os.path.join(logdir, fname)
-        self._fh = open(self.path, "wb")
+        self._fh = open(self.path, "xb")  # fail loudly on collision
         self._write(_event(time.time(), file_version="brain.Event:2"))
 
     def _write(self, payload: bytes):
@@ -220,23 +228,33 @@ def _parse_event(payload: bytes):
     return wall_time, step, scalars
 
 
-def export_jsonl(jsonl_path: str, logdir: str, step_key: str = "step"):
+def export_jsonl(jsonl_path: str, logdir: str, step_key: str = "step",
+                 start_offset: int = 0):
     """Convert a MetricsLogger JSONL file to a TB event file: every numeric
     field of every record becomes a scalar; the step is the record's
-    ``step_key`` if present, else its index. Returns the event-file path."""
+    ``step_key`` if present, else its index. Returns the event-file path.
+
+    ``start_offset``: skip bytes already in the file before this run
+    started — MetricsLogger appends, so re-exporting an existing log would
+    otherwise duplicate stale records from prior runs (ADVICE round 2).
+    Event wall_time is the record's absolute ``t_epoch`` when present
+    (older logs carried only a run-relative ``t``, which TB displayed as
+    1970 — such records now fall back to export time)."""
     with TensorBoardWriter(logdir) as w:
         with open(jsonl_path) as fh:
+            fh.seek(start_offset)
             for i, line in enumerate(fh):
                 line = line.strip()
                 if not line:
                     continue
                 rec = json.loads(line)
                 step = int(rec.get(step_key, i))
-                wall = rec.get("t")
+                wall = rec.get("t_epoch")  # None → writer uses time.time()
                 scalars = {
                     k: v for k, v in rec.items()
                     if isinstance(v, (int, float))
-                    and not isinstance(v, bool) and k not in (step_key, "t")
+                    and not isinstance(v, bool)
+                    and k not in (step_key, "t", "t_epoch")
                 }
                 if scalars:
                     w.scalars(scalars, step, wall_time=wall)

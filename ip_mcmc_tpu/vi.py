@@ -13,6 +13,7 @@ L is a ready-made RWM/MALA proposal factor).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -21,7 +22,10 @@ import optax
 
 from ip_mcmc_tpu.utils.struct import pytree_dataclass
 
-_LOG_2PI = jnp.log(2.0 * jnp.pi)
+# plain float, NOT jnp: a module-level jnp op would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize for any
+# process that imports the package before calling it (multi-host CLI)
+_LOG_2PI = math.log(2.0 * math.pi)
 
 
 @pytree_dataclass

@@ -107,11 +107,12 @@ class TestLadderAdaptation:
         prior, phi = _bimodal_setup()
         positions = prior.sample(jax.random.key(0), (256,))
         target = 0.4
-        states, betas = tempering.adapt_ladder(
+        states, betas, adapt_rates = tempering.adapt_ladder(
             phi, prior, positions, jax.random.key(1),
-            n_temps=6, num_steps=400, target_swap=target, pcn_step=0.4,
+            n_temps=6, num_steps=400, swap_center=target, pcn_step=0.4,
             beta_min=0.05,
         )
+        assert adapt_rates.shape == (5,)
         assert betas.shape == (6,)
         assert np.all(np.diff(np.asarray(betas)) < 0)
         np.testing.assert_allclose(float(betas[0]), 1.0)
@@ -167,9 +168,9 @@ class TestPTMala:
         pinned-endpoint ladder and a consistent gradient cache."""
         prior, phi = _bimodal_setup()
         positions = prior.sample(jax.random.key(0), (128,))
-        states, betas = tempering.adapt_ladder(
+        states, betas, _ = tempering.adapt_ladder(
             phi, prior, positions, jax.random.key(1),
-            n_temps=5, num_steps=200, target_swap=0.4, beta_min=0.05,
+            n_temps=5, num_steps=200, swap_center=0.4, beta_min=0.05,
             mutation="mala", step_size=0.25,
         )
         assert isinstance(states, tempering.PTMalaState)
