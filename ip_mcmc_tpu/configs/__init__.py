@@ -55,6 +55,7 @@ class Problem:
     batched_potential_fn: Optional[Callable] = None  # (d, block)->(block,)
     # for the fused Pallas path (runner uses it when kernel_params["fused"])
     surrogate_potential_fn: Optional[Callable] = None  # cheap Φ* for da_pcn
+    batched_surrogate_fn: Optional[Callable] = None  # fused-da_pcn Φ*
     # warm-started fused path: (phi2(U, x0) -> (phi, x), aux_dim)
     batched_warm_potential: Optional[tuple] = None
     # optional initial-position override (VI warm-start installs one):

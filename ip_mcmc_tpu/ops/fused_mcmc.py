@@ -113,6 +113,33 @@ def _trace_potential(step_builder, potential_fn, examples):
     return jax.make_jaxpr(potential_fn)(*examples)
 
 
+def _trace_potentials(step_builder, potential_fn, examples):
+    """Trace one potential — or a tuple of potentials (delayed acceptance:
+    exact + surrogate) — returning (closed_jaxprs, per-potential const
+    counts)."""
+    fns = potential_fn if isinstance(potential_fn, tuple) else (potential_fn,)
+    closed = [_trace_potential(step_builder, f, examples) for f in fns]
+    return closed, [len(cp.consts) for cp in closed]
+
+
+def _bind_pots(closed_pots, const_counts, const_vals):
+    """Rebuild the potential callables inside the kernel from the flat list
+    of (reshaped) constant operands. Returns a single callable when one
+    potential was traced, else the tuple — matching what the step builder
+    expects."""
+    pots, off = [], 0
+    for cp, cnt in zip(closed_pots, const_counts):
+        cvals = tuple(const_vals[off : off + cnt])
+        off += cnt
+
+        def call(*xs, _jaxpr=cp.jaxpr, _c=cvals):
+            out = jax.core.eval_jaxpr(_jaxpr, list(_c), *xs)
+            return out[0] if len(out) == 1 else tuple(out)
+
+        pots.append(call)
+    return pots[0] if len(pots) == 1 else tuple(pots)
+
+
 def _pack2d(a):
     a = jnp.asarray(a)
     if a.ndim == 0:
@@ -142,15 +169,13 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps,
         examples += (
             jax.ShapeDtypeStruct((aux_dim, block_chains), positions.dtype),
         )
-    closed_pot = _trace_potential(step_builder, potential_fn, examples)
-    pot_consts = [jnp.asarray(c) for c in closed_pot.consts]
-    n_in = len(examples)
-
-    def pot_conv(*args):  # (x[, aux], *consts)
-        out = jax.core.eval_jaxpr(
-            closed_pot.jaxpr, list(args[n_in:]), *args[:n_in]
-        )
-        return out[0] if len(out) == 1 else tuple(out)
+    # ``potential_fn`` may be a TUPLE of potentials (delayed acceptance:
+    # exact + surrogate) — each traced to its own jaxpr with its own hoisted
+    # constants; the step builder then receives the same tuple of callables
+    closed_pots, const_counts = _trace_potentials(
+        step_builder, potential_fn, examples
+    )
+    pot_consts = [jnp.asarray(c) for cp in closed_pots for c in cp.consts]
 
     extras = [jnp.asarray(p, jnp.float32) for p in params] + list(pot_consts)
     packed = [_pack2d(e) for e in extras]
@@ -176,8 +201,7 @@ def _run_fused(step_builder, potential_fn, positions, params, seed, n_steps,
             else:
                 vals.append(er[:])
         param_vals = vals[:n_params]
-        const_vals = vals[n_params:]
-        pot = lambda *xs: pot_conv(*xs, *const_vals)
+        pot = _bind_pots(closed_pots, const_counts, vals[n_params:])
         step_init, step = step_builder(pot, *param_vals)
 
         block_seed = (seed_ref[0] + pl.program_id(0) * 7919).astype(jnp.uint32)
@@ -296,6 +320,72 @@ def _pcn_step_builder(pot, beta, mean, scale):
         ), accept[None, :]
 
     return init, step
+
+
+def _make_da_pcn_step_builder(subchain_len):
+    """Fused delayed-acceptance pCN (the kernels/da_pcn.py algorithm on the
+    Pallas path): ``subchain_len`` pCN steps against the SURROGATE potential
+    Φ* (e.g. a coarse-grid FV solve, ~16x cheaper), then ONE exact-potential
+    correction — Christen–Fox (2005) surrogate-transition form. The cost
+    structure is STATIC (k cheap + 1 expensive eval per outer step for every
+    chain), which is exactly what vectorizes on VPU lanes; the inner loop is
+    a compile-time unroll (k is small and static). ``pot`` is the
+    (exact, surrogate) pair; the carry caches Φ AND Φ* at the current state
+    so nothing is recomputed. extra_out reports the inner (surrogate-stage)
+    acceptance rate — the knob β is tuned against it, while the main accept
+    channel reports the exact-correction rate (a surrogate-quality meter:
+    ≈1 means the coarse model ranks proposals like the fine one)."""
+    k = int(subchain_len)
+
+    def builder(pots, beta, mean, scale):
+        pot_exact, pot_surr = pots
+        contraction = jnp.sqrt(1.0 - beta * beta)
+
+        def init(pos):
+            block = pos.shape[1]
+            return (
+                pos,
+                pot_exact(pos),
+                pot_surr(pos),
+                jnp.zeros((1, block), jnp.float32),  # inner-accept sum
+                jnp.float32(0.0),  # outer-step count (normalizes extra_out)
+            )
+
+        def step(carry, rand_n, rand_u):
+            pos0, phi0, surr0, in_acc, cnt = carry
+            m = mean[:, None]
+            s = scale[:, None]
+            pos, surr = pos0, surr0
+            for j in range(k):  # static unroll; 4 rand tags per inner step
+                xi = s * rand_n(pos.shape, 4 * j)
+                prop = m + contraction * (pos - m) + beta * xi
+                surr_prop = pot_surr(prop)
+                log_u = jnp.log(rand_u((1, pos.shape[1]), 4 * j + 2))[0]
+                take = log_u < (surr - surr_prop)  # NaN ratio -> False
+                in_acc = in_acc + take[None, :].astype(jnp.float32)
+                pos = jnp.where(take[None, :], prop, pos)
+                surr = jnp.where(take, surr_prop, surr)
+            phi_end = pot_exact(pos)
+            # π*-to-π correction: (Φ(u) − Φ(v)) − (Φ*(u) − Φ*(v))
+            log_ratio = (phi0 - phi_end) - (surr0 - surr)
+            log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+            log_u = jnp.log(rand_u((1, pos.shape[1]), 4 * k + 2))[0]
+            accept = log_u < log_ratio
+            acc2 = accept[None, :]
+            return (
+                jnp.where(acc2, pos, pos0),
+                jnp.where(accept, phi_end, phi0),
+                jnp.where(accept, surr, surr0),
+                in_acc,
+                cnt + 1.0,
+            ), acc2
+
+        return init, step
+
+    builder.extra_out = lambda carry: carry[3] / jnp.maximum(
+        carry[4] * k, 1.0
+    )
+    return builder
 
 
 def _make_pcn_warm_step_builder(aux_dim):
@@ -659,15 +749,10 @@ def _run_fused_recorded(
         examples += (
             jax.ShapeDtypeStruct((aux_dim, block_chains), positions.dtype),
         )
-    closed_pot = _trace_potential(step_builder, potential_fn, examples)
-    pot_consts = [jnp.asarray(c) for c in closed_pot.consts]
-    n_in = len(examples)
-
-    def pot_conv(*args):
-        out = jax.core.eval_jaxpr(
-            closed_pot.jaxpr, list(args[n_in:]), *args[:n_in]
-        )
-        return out[0] if len(out) == 1 else tuple(out)
+    closed_pots, const_counts = _trace_potentials(
+        step_builder, potential_fn, examples
+    )
+    pot_consts = [jnp.asarray(c) for cp in closed_pots for c in cp.consts]
 
     extras = [jnp.asarray(p, jnp.float32) for p in params] + list(pot_consts)
     packed = [_pack2d(e) for e in extras]
@@ -686,7 +771,7 @@ def _run_fused_recorded(
                 vals.append(er[:].reshape(s))
             else:
                 vals.append(er[:])
-        pot = lambda *xs: pot_conv(*xs, *vals[n_params:])
+        pot = _bind_pots(closed_pots, const_counts, vals[n_params:])
         step_init, step = step_builder(pot, *vals[:n_params])
 
         pid = pl.program_id(0)
@@ -1319,5 +1404,82 @@ def fused_pcn_chain(
         ],
         seed,
         n_steps,
+        block_chains,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "surrogate_fn", "n_steps",
+                     "subchain_len", "block_chains"),
+)
+def fused_da_pcn_chain(
+    potential_fn,
+    surrogate_fn,
+    positions,
+    prior_mean,
+    prior_scale,
+    beta,
+    seed,
+    n_steps=100,
+    subchain_len=4,
+    block_chains=256,
+):
+    """Delayed-acceptance pCN, fully fused: each outer step runs
+    ``subchain_len`` pCN steps against the cheap ``surrogate_fn`` (e.g. a
+    coarse-grid FV misfit) entirely in VMEM, then one ``potential_fn``
+    (exact) correction. Both potentials: (d, block) -> (block,).
+    Returns (final_positions, exact_accept_rate, inner_accept_rate) —
+    the exact rate measures surrogate quality (≈1 is ideal), the inner
+    rate is what β tunes."""
+    return _run_fused(
+        _make_da_pcn_step_builder(subchain_len),
+        (potential_fn, surrogate_fn),
+        positions,
+        [
+            jnp.float32(beta),
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_scale, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        block_chains,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "surrogate_fn", "n_steps", "thin",
+                     "subchain_len", "block_chains"),
+)
+def fused_da_pcn_chain_recorded(
+    potential_fn,
+    surrogate_fn,
+    positions,
+    prior_mean,
+    prior_scale,
+    beta,
+    seed,
+    n_steps=100,
+    thin=1,
+    subchain_len=4,
+    block_chains=256,
+):
+    """Delayed-acceptance pCN with in-kernel trajectory recording: one
+    launch returns (final_positions, exact_accept_rate,
+    samples (n_steps//thin, n, d)). Each recorded step is one OUTER DA
+    step (= subchain_len surrogate proposals + 1 exact correction)."""
+    return _run_fused_recorded(
+        _make_da_pcn_step_builder(subchain_len),
+        (potential_fn, surrogate_fn),
+        positions,
+        [
+            jnp.float32(beta),
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_scale, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        thin,
         block_chains,
     )

@@ -252,7 +252,7 @@ def run_problem(
         return _finalize(metrics, metrics_log, t_start)
 
     if (
-        problem.kernel in ("pcn", "mala", "rwm", "elliptical")
+        problem.kernel in ("pcn", "mala", "rwm", "elliptical", "da_pcn")
         and problem.kernel_params.get("fused")
         and problem.batched_potential_fn is not None
     ):
@@ -377,6 +377,25 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
                       max_shrink=kp.get("max_shrink", 8))
         chain, chain_rec = ops.fused_ess_chain, ops.fused_ess_chain_recorded
         phi_full = phi_b
+    elif problem.kernel == "da_pcn":
+        # fused delayed acceptance: k surrogate pCN steps (coarse-grid
+        # misfit) + one exact correction per outer step — both potentials
+        # traced into ONE Pallas kernel (ops.fused_da_pcn_chain). pCN is
+        # prior-reversible, so both sides consume data misfits alone.
+        surr_b = problem.batched_surrogate_fn
+        if surr_b is None:
+            raise ValueError(
+                f"config {problem.name}: fused 'da_pcn' needs "
+                "batched_surrogate_fn"
+            )
+        run_kw = dict(prior_mean=pm, prior_scale=ps,
+                      beta=kp.get("beta", 0.2),
+                      subchain_len=kp.get("subchain_len", 4))
+        chain = lambda p, pos, **kw: ops.fused_da_pcn_chain(
+            p, surr_b, pos, **kw)
+        chain_rec = lambda p, pos, **kw: ops.fused_da_pcn_chain_recorded(
+            p, surr_b, pos, **kw)
+        phi_full = phi_b
     elif problem.kernel == "pcn":
         beta = kp.get("beta", 0.2)
         run_kw = dict(prior_mean=pm, prior_scale=ps, beta=beta)
@@ -446,8 +465,14 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
     run_s = time.perf_counter() - t0
 
     summ, diag_s = _summarize_timed(samples)
+    # the kernel's extra_out channel: FES reports the stretch-move rate,
+    # DA-pCN the surrogate-subchain (inner) rate
+    extra_key = (
+        "inner_accept_rate" if problem.kernel == "da_pcn"
+        else "stretch_accept_rate"
+    )
     extra = (
-        {"stretch_accept_rate": float(np.asarray(stretch_acc).mean())}
+        {extra_key: float(np.asarray(stretch_acc).mean())}
         if stretch_acc is not None
         else {}
     )
