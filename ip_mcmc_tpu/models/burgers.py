@@ -146,7 +146,12 @@ def make_batched_misfit(aux, data, noise_scale):
     out (cells, block); the stencil rolls along sublanes).
     """
     data = jnp.asarray(data, jnp.float32)
+    # scalar or per-observation (m,) noise scale — a vector downweights
+    # observations where a surrogate's discretization error is large
+    # (two-level delayed acceptance; see configs.burgers_da_pcn)
     noise_scale = jnp.asarray(noise_scale, jnp.float32)
+    if noise_scale.ndim == 1:
+        noise_scale = noise_scale[:, None]  # broadcast over the chain block
     basis = aux["scaled_basis"]
     basis_t = jnp.asarray(np.asarray(basis).T)  # eager: no in-kernel transpose
     mean = aux["mean"]
