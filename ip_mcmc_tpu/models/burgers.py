@@ -22,21 +22,32 @@ import numpy as np
 from ip_mcmc_tpu.models import kl
 
 
+def godunov_flux2(u_left, u_right):
+    """TWICE the exact Godunov flux for f(u) = u²/2:
+    2F = max( max(u_l, 0)², min(u_r, 0)² ).
+
+    The ½ is algebraically hoisted out of the per-face max (0.5·max(a,b) ≡
+    max(0.5a, 0.5b), exactly in fp) and folded into the time-step constant
+    by callers — two fewer VPU multiplies per cell per CFL step in the hot
+    FV loop (~18% of the stencil's op count)."""
+    fl = jnp.square(jnp.maximum(u_left, 0.0))
+    fr = jnp.square(jnp.minimum(u_right, 0.0))
+    return jnp.maximum(fl, fr)
+
+
 def godunov_flux(u_left, u_right):
     """Exact Godunov flux for the convex flux f(u) = u²/2:
     F = max( f(max(u_l, 0)), f(min(u_r, 0)) )."""
-    fl = 0.5 * jnp.square(jnp.maximum(u_left, 0.0))
-    fr = 0.5 * jnp.square(jnp.minimum(u_right, 0.0))
-    return jnp.maximum(fl, fr)
+    return 0.5 * godunov_flux2(u_left, u_right)
 
 
 def step_burgers(state, dt_over_h):
     """One periodic FV step: u_i -= dt/h (F_{i+1/2} − F_{i−1/2}).
     Cell axis is the LAST axis — works on (n,) or batched (chains, n)."""
     u_right = jnp.roll(state, -1, axis=-1)
-    flux_right = godunov_flux(state, u_right)  # F_{i+1/2}
-    flux_left = jnp.roll(flux_right, 1, axis=-1)  # F_{i−1/2}
-    return state - dt_over_h * (flux_right - flux_left)
+    flux2_right = godunov_flux2(state, u_right)  # 2·F_{i+1/2}
+    flux2_left = jnp.roll(flux2_right, 1, axis=-1)  # 2·F_{i−1/2}
+    return state - (0.5 * dt_over_h) * (flux2_right - flux2_left)
 
 
 def integrate(u0, dt, n_steps, record_every=0):
@@ -168,12 +179,14 @@ def make_batched_misfit(aux, data, noise_scale):
     def phi(U):  # (K, block) -> (block,)
         state = mean[:, None] + basis_t @ U  # (cells, block), MXU matmul
 
+        half_dt_over_h = 0.5 * dt_over_h  # ½ hoisted out of godunov_flux2
+
         def body(_, state):
             # fori_loop, not scan: Mosaic only lowers index-style loops
             u_down = jnp.roll(state, -1, axis=0)
-            flux_down = godunov_flux(state, u_down)
-            flux_up = jnp.roll(flux_down, 1, axis=0)
-            return state - dt_over_h * (flux_down - flux_up)
+            flux2_down = godunov_flux2(state, u_down)
+            flux2_up = jnp.roll(flux2_down, 1, axis=0)
+            return state - half_dt_over_h * (flux2_down - flux2_up)
 
         preds = []
         for seg in segments:  # static unroll over observation times
