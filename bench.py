@@ -100,20 +100,27 @@ def main():
     jax.block_until_ready(positions)
     log(f"compile+burn-in ({BURN} steps): {time.time()-t0:.1f}s")
 
-    # recorded series for the ESS estimate: ONE launch, in-kernel DMA
-    # recording every step
+    # recorded series for the ESS estimate: FOUR concatenated launches
+    # (cached program — no extra compiles). A single 400-step window is
+    # short relative to the chain's autocorrelation time and overestimates
+    # ESS/step; the ratio below is invariant (both sides share this
+    # estimate), but the absolute ESS/s should be honest (round-3).
     t0 = time.time()
-    pos, _, series = fused_pcn_chain_warm_recorded(
-        phi_warm, positions, prior_mean=prior_mean, prior_scale=prior_scale,
-        beta=BETA, seed=1000, n_steps=N_REC, thin=1, aux_dim=aux_dim,
-        block_chains=BLOCK,
-    )
-    jax.block_until_ready(series)
-    log(f"ESS series ({N_REC} recorded steps, one launch): {time.time()-t0:.1f}s")
+    parts, pos = [], positions
+    N_WINDOWS = 4
+    for j in range(N_WINDOWS):
+        pos, _, series = fused_pcn_chain_warm_recorded(
+            phi_warm, pos, prior_mean=prior_mean, prior_scale=prior_scale,
+            beta=BETA, seed=1000 + j, n_steps=N_REC, thin=1, aux_dim=aux_dim,
+            block_chains=BLOCK,
+        )
+        parts.append(np.asarray(series))
+    series = np.concatenate(parts, axis=0)
+    log(f"ESS series ({N_WINDOWS}x{N_REC} recorded steps): {time.time()-t0:.1f}s")
 
-    ess = np.asarray(diagnostics.ess_per_param(series))
+    ess = np.asarray(diagnostics.ess_per_param(jnp.asarray(series)))
     min_ess = float(ess.min())
-    ess_per_step_chain = min_ess / (N_CHAINS * N_REC)
+    ess_per_step_chain = min_ess / (N_CHAINS * len(series))
 
     # throughput: one long fused launch (warm the program first — the timed
     # call must not include compile/fetch)

@@ -25,6 +25,13 @@ from __future__ import annotations
 import os as _os
 import sys as _sys
 
+# Pin the oracle BLAS/OMP environment BEFORE numpy import (round-2 VERDICT
+# weak #5: unpinned oracle rows swung 1.6x between rounds). Must precede
+# any numpy import in this process.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    _os.environ[_v] = "1"
+
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
@@ -58,7 +65,11 @@ def row_gauss2d(quick):
     from tests.oracle import oracle_mcmc as om
 
     problem = configs.build("gauss2d_rwm")
-    problem.kernel_params = {"step_size": 1.0}  # fixed — algorithm parity
+    # fixed step — algorithm parity; fused=True so the matrix row reports
+    # the best-achievable TPU path (round-2 VERDICT item 9: compare_paths
+    # measured the fused RWM kernel at 443M steps/s while the matrix showed
+    # the scan path's 28M)
+    problem.kernel_params = {"step_size": 1.0, "fused": True}
     n_samples = 400 if quick else 1000
 
     m = runner.run_problem(problem, key=jax.random.key(0),
@@ -462,6 +473,7 @@ def main():
         t0 = time.perf_counter()
         row = ROWS[name](args.quick)
         row["row_wall_s"] = time.perf_counter() - t0
+        row["oracle_env"] = {"blas_threads": 1}  # pinned above, pre-numpy
         results[row["config"]] = row
         print(json.dumps(row), flush=True)
         with open(out, "w") as f:
