@@ -4,15 +4,20 @@ reference-equivalent NumPy single-chain oracle.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-TPU side = the fully fused Pallas pCN kernel (whole Jacobi-PCG Darcy solve
-in-kernel, chains on VPU lanes, ~10M PDE-solve steps/s on one v5e chip —
-also ~100x faster to COMPILE than the scan path on this toolchain), with
-WARM-STARTED, DST-PRECONDITIONED CG: each proposal's solve starts from the
-chain's current converged solution carried in the kernel state, and the
-fast-Poisson (sine-eigenbasis) preconditioner runs as bf16 Kronecker-factor
-MXU matmuls — 6 warm DST iterations reach rel. solution error ~7e-7,
-BETTER than 16 warm Jacobi iterations (3e-4) and ~1.4x faster; acceptance
-matches the cold-48 kernel to 3 decimals.
+TPU side = the fully fused Pallas pCN kernel (whole PCG Darcy solve
+in-kernel, chains on VPU lanes — also ~100x faster to COMPILE than the
+scan path on this toolchain), with WARM-STARTED, TRUNCATED-DST-
+PRECONDITIONED CG: each proposal's solve starts from the chain's current
+converged solution carried in the kernel state, and the preconditioner
+projects onto the 64 lowest sine modes as tall-skinny bf16 MXU matmuls
+(+ Jacobi on the high-mode remainder). Round-3 swap (probed in
+benchmarks/darcy16_precond.py): the dense Kronecker DST costs O(n^4)
+MACs/apply and was 33% MFU but MXU-bound on preconditioner arithmetic;
+dst_trunc-4 K=64 does ~4.8x fewer preconditioner MACs and converts them
+into 1.57x wall-clock (17.7M -> 27.9M steps/s at 4096 chains), with
+acceptance parity to 4 decimals, warm-path phi error exactly 0 from a
+converged start, and posterior moments within 1/8 of seed-to-seed MC
+error of the dense kernel (benchmarks/darcy16_parity.py).
 
 Methodology (SURVEY.md §6, §7.3 item 6 — honest ESS accounting):
 - identical algorithm both sides: pCN, same β, same posterior (same KL
@@ -82,7 +87,8 @@ def main():
     # ---- TPU side (fused Pallas kernel) ---------------------------------
     fwd, aux = darcy.make_darcy_forward(n_grid=16, n_modes_per_dim=8)
     phi_warm, aux_dim = darcy.make_batched_misfit_warm(
-        aux, jnp.asarray(y, jnp.float32), NOISE, cg_iters=6, precond="dst"
+        aux, jnp.asarray(y, jnp.float32), NOISE, cg_iters=4,
+        precond="dst_trunc", precond_modes=64,
     )
     prior = distributions.DiagGaussian(mean=jnp.zeros(64), scale=jnp.ones(64))
     prior_mean, prior_scale = np.zeros(64), np.ones(64)

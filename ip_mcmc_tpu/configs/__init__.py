@@ -405,14 +405,20 @@ def darcy_composed_ess() -> Problem:
 @register
 def darcy_pcn_warm() -> Problem:
     """Warm-started fused pCN on Darcy: the CG solution rides the kernel
-    state, proposal solves start from it (16 iterations ≈ cold 32 at equal
-    residual — ROADMAP P1)."""
+    state, proposal solves start from it. Round-3 preconditioner swap
+    (benchmarks/darcy16_precond.py): truncated-DST (64 lowest sine modes
+    as tall-skinny MXU matmuls + Jacobi remainder) at 4 warm iterations —
+    4.8x fewer preconditioner MACs than the dense Kronecker DST for 1.57x
+    wall-clock (17.7M→27.9M steps/s), acceptance parity to 4 decimals,
+    posterior moments within 1/8 of MC error of the dense kernel
+    (benchmarks/darcy16_parity.py)."""
     phi, prior, y, u_true, phi_batched = _darcy_problem()
     _, aux = darcy.make_darcy_forward(
         n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
     )
-    warm = darcy.make_batched_misfit_warm(aux, y, 0.002, cg_iters=6,
-                                          precond="dst")
+    warm = darcy.make_batched_misfit_warm(aux, y, 0.002, cg_iters=4,
+                                          precond="dst_trunc",
+                                          precond_modes=64)
     return Problem(
         name="darcy_pcn_warm",
         dim=64,
@@ -426,7 +432,7 @@ def darcy_pcn_warm() -> Problem:
         burn_in=500,
         data=np.asarray(y),
         truth=np.asarray(u_true),
-        notes="CG warm-start carried in kernel state; ~2x over cold-48",
+        notes="warm dst_trunc-4 K=64; 1.57x over round-2 dense DST-6",
         batched_potential_fn=phi_batched,
         batched_warm_potential=warm,
     )
