@@ -68,14 +68,20 @@ def main():
 
     from functools import partial
 
+    # tiny step for the RAW rate: identical FLOPs per leapfrog, but a 512-step
+    # unguarded trajectory at the sampling eps diverges to NaN (NUTS's own
+    # divergence handling caps real trajectories); timing should not depend
+    # on NaN-propagation fast/slow paths.
+    eps_raw = 1e-4
+
     @partial(jax.jit, static_argnames=("n",))
     def leapfrog_scan(q, p, n):
         def body(carry, _):
             q, p, g = carry
-            p_half = p + 0.5 * eps * g
-            q_new = q + eps * p_half
+            p_half = p + 0.5 * eps_raw * g
+            q_new = q + eps_raw * p_half
             g_new = jax.vmap(grad_fn)(q_new)
-            p_new = p_half + 0.5 * eps * g_new
+            p_new = p_half + 0.5 * eps_raw * g_new
             return (q_new, p_new, g_new), None
 
         g0 = jax.vmap(grad_fn)(q)
@@ -84,12 +90,18 @@ def main():
 
     p0 = jax.random.normal(jax.random.key(1), pos.shape)
     N_LEAP = 512
-    q, p = leapfrog_scan(pos, p0, N_LEAP)  # compile
-    jax.block_until_ready(q)
-    t0 = time.perf_counter()
-    q, p = leapfrog_scan(pos, p0, N_LEAP)
-    np.asarray(q)  # transfer barrier
-    leap_s = time.perf_counter() - t0
+    # min-of-3 with a TRANSFER barrier on every rep, including the warm-up:
+    # a tunneled block_until_ready can return early on this toolchain (see
+    # ROADMAP), which once leaked the remote compile into the timed rep and
+    # reported 1.6 batches/s where the device does ~4,400.
+    reps = []
+    for rep in range(4):
+        t0 = time.perf_counter()
+        q, p = leapfrog_scan(pos, p0, N_LEAP)
+        np.asarray(q)  # transfer barrier
+        if rep:  # rep 0 is compile + warm-up
+            reps.append(time.perf_counter() - t0)
+    leap_s = min(reps)
     batch_rate = N_LEAP / leap_s  # leapfrog BATCHES (C chains each) per sec
     log(f"raw vmapped leapfrog: {batch_rate:,.1f} batches/s "
         f"({batch_rate * C:,.0f} chain-leapfrogs/s at C={C})")
@@ -108,13 +120,15 @@ def main():
 
         return jax.lax.scan(body, state, jnp.arange(n))
 
-    st, (ns, dep) = run(state, jax.random.key(2), n_trans)  # compile
-    jax.block_until_ready(st.position)
-    t0 = time.perf_counter()
-    st, (ns, dep) = run(state, jax.random.key(3), n_trans)
-    ns = np.asarray(ns)  # (n_trans, C) leapfrogs per chain; also barrier
-    dep = np.asarray(dep)
-    nuts_s = time.perf_counter() - t0
+    nreps = []
+    for rep in range(4):  # rep 0 = compile + warm-up (same barrier)
+        t0 = time.perf_counter()
+        st, (ns, dep) = run(state, jax.random.key(2 + rep), n_trans)
+        ns = np.asarray(ns)  # (n_trans, C) leapfrogs per chain; also barrier
+        dep = np.asarray(dep)
+        if rep:
+            nreps.append(time.perf_counter() - t0)
+    nuts_s = min(nreps)
 
     # lockstep leapfrogs actually executed per transition: the batched
     # while loops run sum over doublings d<=D_max of 2^d batches, where
