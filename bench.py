@@ -39,7 +39,9 @@ import os
 # weak #5: an unpinned oracle swung 1.6x between rounds — 1,030 vs 1,622
 # steps/s for identical code — making the round-over-round `vs_baseline`
 # trend unreadable). One thread = the reference's single-process deployment
-# model, and the most reproducible configuration.
+# model, and the most reproducible configuration. (Pinning removes BLAS
+# nondeterminism but NOT host contention: running the CPU test suite
+# concurrently measured the oracle 1.5x slow — keep the host idle.)
 for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
            "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
     os.environ[_v] = "1"
@@ -128,14 +130,26 @@ def main():
     min_ess = float(ess.min())
     ess_per_step_chain = min_ess / (N_CHAINS * len(series))
 
-    # throughput: one long fused launch (warm the program first — the timed
-    # call must not include compile/fetch)
-    out, _ = fused(pos, 99, N_TIME)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    out, acc = fused(pos, 2, N_TIME)
-    jax.block_until_ready(out)
-    tpu_s = time.time() - t0
+    # throughput: min-of-3 reps, each timing K_LAUNCH chained launches with
+    # ONE transfer barrier at the end. Two toolchain pathologies addressed
+    # (see ROADMAP): a tunneled block_until_ready can return early (so the
+    # barrier is np.asarray — a real device->host fetch), and per-dispatch
+    # tunnel latency is O(30-50ms) — comparable to the 500-step program
+    # itself, and visibly noisy across processes (measured 16.4M vs 27.9M
+    # steps/s for the identical kernel). Chaining K launches lets async
+    # dispatch pipeline them; the first dispatch's latency amortizes over
+    # K x N_TIME steps.
+    K_LAUNCH = 5
+    reps_t = []
+    for rep in range(4):
+        t0 = time.time()
+        p = pos
+        for j in range(K_LAUNCH):
+            p, acc = fused(p, 2 + rep * K_LAUNCH + j, N_TIME)
+        np.asarray(p)
+        if rep:  # rep 0 warms the program
+            reps_t.append(time.time() - t0)
+    tpu_s = min(reps_t) / K_LAUNCH
     tpu_steps_per_s = N_CHAINS * N_TIME / tpu_s
     tpu_ess_per_s = ess_per_step_chain * tpu_steps_per_s
     log(
