@@ -833,12 +833,18 @@ def burgers_da_pcn() -> Problem:
     surrogate subchain + exact correction (round-2 VERDICT missing #5 —
     the reference's headline problem class gets the warm-path treatment).
 
-    Surrogate = the SAME Godunov solver on a 4x coarser grid (32 cells):
-    4x fewer cells AND 4x fewer CFL steps → ~16x cheaper per evaluation,
-    observing the same physical locations against the same data. Posterior
-    is identical to ``burgers_pcn`` by construction (the exact correction
-    makes any surrogate valid; only efficiency depends on its quality)."""
-    n_fine, n_coarse, K, m = 128, 32, 16, 16
+    Surrogate = the measured optimum of the round-3 sweep
+    (benchmarks/burgers_da.py, honest-ESS grid over resolution × subchain
+    length): 64 cells at CFL≈0.9 — half the cells AND ~3x coarser time
+    steps than the fine 128-cell/CFL~0.3 model (cost ratio 1/11.9), with
+    subchain_len=16 → 2.32x the cold fused kernel's ESS/s. Space-only
+    coarsening to 32 cells (the round-2 first cut) measured WORSE (its
+    O(h) shock error is up to 8x the observation noise at shock-adjacent
+    points); time-coarsening preserves the shock position, which is a
+    grid-resolution property. Posterior is identical to ``burgers_pcn`` by
+    construction (the exact correction makes any surrogate valid; only
+    efficiency depends on its quality)."""
+    n_fine, n_coarse, K, m = 128, 64, 16, 16
     mean_fine = np.sin(2 * np.pi * (np.arange(n_fine) + 0.5) / n_fine)
     fwd, aux = burgers.make_burgers_forward(
         n_cells=n_fine, n_modes=K, alpha=1.5, field_scale=1.0, t_final=0.2,
@@ -859,9 +865,13 @@ def burgers_da_pcn() -> Problem:
         0, n_coarse - 1,
     )
     mean_coarse = np.sin(2 * np.pi * (np.arange(n_coarse) + 0.5) / n_coarse)
+    # cfl_amax=1.0 → effective CFL ≈ 0.9 at the prior's |u| ≤ ~1.8: the
+    # time-coarsening half of the surrogate (fine model uses the default
+    # conservative bound → CFL ~0.3)
     fwd_c, aux_c = burgers.make_burgers_forward(
         n_cells=n_coarse, n_modes=K, alpha=1.5, field_scale=1.0,
         t_final=0.2, mean_profile=mean_coarse, obs_indices=obs_coarse,
+        cfl_amax=1.0,
     )
 
     # two-level calibration (standard multilevel-DA practice): the raw
@@ -889,10 +899,10 @@ def burgers_da_pcn() -> Problem:
         prior=prior,
         potential_fn=phi,
         kernel="da_pcn",
-        kernel_params={"beta": 0.15, "subchain_len": 6, "fused": True},
+        kernel_params={"beta": 0.15, "subchain_len": 16, "fused": True},
         n_chains=2048,
         n_samples=500,
-        burn_in=200,  # outer DA steps (each = 6 inner pCN steps)
+        burn_in=100,  # outer DA steps (each = 16 inner pCN steps)
         data=np.asarray(y),
         truth=np.asarray(u_true),
         notes="coarse-FV surrogate subchain + exact correction; posterior "

@@ -1,4 +1,5 @@
-from ip_mcmc_tpu.parallel.fused_shard import sharded_fused_chain
+from ip_mcmc_tpu.parallel.fused_shard import (sharded_fused_chain,
+                                              sharded_fused_chain_composed)
 from ip_mcmc_tpu.parallel.mesh import (
     CHAIN_AXIS,
     chain_sharding,
@@ -16,4 +17,5 @@ __all__ = [
     "replicate",
     "sample_chains_sharded",
     "sharded_fused_chain",
+    "sharded_fused_chain_composed",
 ]

@@ -100,3 +100,31 @@ class TestRankNormalizedRhat:
         s = jax.random.normal(jax.random.key(4), (100, 8, 3))
         out = diagnostics.summarize(s)
         assert float(out["max_rank_rhat"]) < 1.05
+
+
+class TestPerParamMapping:
+    """The per-param estimators run via lax.map over the parameter axis
+    (diagnostics._per_param): the former vmap multiplied the FFT's peak
+    memory by dim and OOM'd 16 GB HBM on the bench's honest-ESS series
+    (round 3). These tests pin equivalence with the vmapped math."""
+
+    def test_matches_vmap(self):
+        drift = 0.1 * jnp.cumsum(
+            jax.random.normal(jax.random.key(11), (300, 64, 7)), axis=0)
+        x = jax.random.normal(jax.random.key(10), (300, 64, 7)) + drift
+        np.testing.assert_allclose(
+            diagnostics.ess_per_param(x),
+            jax.vmap(diagnostics.ess, in_axes=2)(x), rtol=2e-5)
+        np.testing.assert_allclose(
+            diagnostics.rhat_per_param(x),
+            jax.vmap(diagnostics.split_rhat, in_axes=2)(x), rtol=1e-5)
+        np.testing.assert_allclose(
+            diagnostics.rank_rhat_per_param(x),
+            jax.vmap(diagnostics.rank_normalized_rhat, in_axes=2)(x),
+            rtol=1e-5)
+
+    def test_jits_inside_summarize(self):
+        # lax.map inside the jitted summarize: one program, correct shapes
+        s = jax.random.normal(jax.random.key(12), (200, 16, 5))
+        out = diagnostics.summarize(s)
+        assert out["ess"].shape == (5,) and out["rhat"].shape == (5,)

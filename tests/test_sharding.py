@@ -208,3 +208,67 @@ class TestShardedFusedChains:
         )
         assert final.shape == pos.shape
         assert np.isfinite(np.asarray(final)).all()
+
+
+class TestComposedFused:
+    """Fused per-device launches under the ('chains','model') composed mesh
+    (parallel.sharded_fused_chain_composed): the 2-D mesh acts as a flat
+    chain pool when the problem fits one device's VMEM."""
+
+    def _phi(self):
+        y = jnp.array([1.0, 1.0])
+        return lambda x: 0.5 * jnp.sum((y[:, None] - x) ** 2, axis=0)
+
+    def test_matches_standalone_per_device(self):
+        """Device (i, j)'s shard is BITWISE a standalone run with the
+        flattened-index seed."""
+        from ip_mcmc_tpu.ops import fused_pcn_chain
+        from ip_mcmc_tpu.parallel.composed import make_composed_mesh
+        from ip_mcmc_tpu.parallel.fused_shard import SEED_STRIDE
+
+        phi = self._phi()
+        mesh = make_composed_mesh(4, 2)
+        n, d = 512, 2
+        pos = jax.random.normal(jax.random.key(0), (n, d))
+        kw = dict(prior_mean=np.zeros(d), prior_scale=np.ones(d), beta=0.5,
+                  n_steps=40, block_chains=64)
+        final, acc = parallel.sharded_fused_chain_composed(
+            fused_pcn_chain, mesh, phi, pos, seed=7, **kw)
+        per = n // 8
+        for flat in (0, 3, 7):
+            f2, _ = fused_pcn_chain(
+                phi, pos[flat * per:(flat + 1) * per],
+                seed=7 + flat * SEED_STRIDE, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(final[flat * per:(flat + 1) * per]),
+                np.asarray(f2))
+
+    def test_matches_flat_chain_mesh(self):
+        """Full-width result on the (4,2) composed mesh == the 1-D 8-device
+        chain mesh (same flattened seed policy -> bitwise identical)."""
+        from ip_mcmc_tpu.ops import fused_pcn_chain
+
+        phi = self._phi()
+        from ip_mcmc_tpu.parallel.composed import make_composed_mesh
+
+        pos = jax.random.normal(jax.random.key(2), (512, 2))
+        kw = dict(prior_mean=np.zeros(2), prior_scale=np.ones(2), beta=0.5,
+                  n_steps=30, block_chains=64, seed=11)
+        f_2d, _ = parallel.sharded_fused_chain_composed(
+            fused_pcn_chain, make_composed_mesh(4, 2), phi, pos, **kw)
+        f_1d, _ = parallel.sharded_fused_chain(
+            fused_pcn_chain, parallel.make_chain_mesh(), phi, pos, **kw)
+        np.testing.assert_array_equal(np.asarray(f_2d), np.asarray(f_1d))
+
+    def test_recorded_variant(self):
+        from ip_mcmc_tpu.ops import fused_pcn_chain_recorded
+        from ip_mcmc_tpu.parallel.composed import make_composed_mesh
+
+        phi = self._phi()
+        pos = jax.random.normal(jax.random.key(3), (512, 2))
+        final, acc, samples = parallel.sharded_fused_chain_composed(
+            fused_pcn_chain_recorded, make_composed_mesh(2, 4), phi, pos,
+            seed=5, prior_mean=np.zeros(2), prior_scale=np.ones(2),
+            beta=0.5, n_steps=20, thin=2, block_chains=64)
+        assert samples.shape == (10, 512, 2)
+        assert np.isfinite(np.asarray(samples)).all()
