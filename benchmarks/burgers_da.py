@@ -215,6 +215,38 @@ def main():
         row["surrogate_cost_ratio"] = cost
         rows.append(row)
 
+    # --- 3-level DA (round-3 P2): 64c@0.9 inner + 128c@0.9 middle --------
+    # 2-level plateaus at ~2.3x because the fine-correction acceptance
+    # decays with k (0.274 at k=16 -> 0.167 at k=48); the accurate middle
+    # level (2-level outer acceptance 0.82) restores it while the cheap
+    # inner level still does the mixing. Program size grows with k1*k2
+    # (unrolled), so the grid stays small.
+    surr64, cost64 = build_surrogate(fwd_fine, aux_fine, p.prior, p.data,
+                                     64, 1.0)
+    surr128, cost128 = build_surrogate(fwd_fine, aux_fine, p.prior, p.data,
+                                       128, 1.0)
+    da3_grid = [(8, 2), (4, 4), (8, 4)]
+    if args.quick:
+        da3_grid = [(4, 2)]
+    for k1, k2 in da3_grid:
+
+        def da3_launch(pos, seed, n, _k1=k1, _k2=k2):
+            return ops.fused_da3_pcn_chain(
+                phi, surr128, surr64, pos, pm, ps, beta, seed, n_steps=n,
+                k_inner=_k1, k_mid=_k2, block_chains=block)
+
+        def da3_rec(pos, seed, n, _k1=k1, _k2=k2):
+            return ops.fused_da3_pcn_chain_recorded(
+                phi, surr128, surr64, pos, pm, ps, beta, seed, n_steps=n,
+                thin=1, k_inner=_k1, k_mid=_k2, block_chains=block)
+
+        row = measure(da3_launch, da3_rec, positions,
+                      max(n_time // max(k1 * k2 // 4, 1), 40), n_rec,
+                      f"DA3 k1={k1} k2={k2} 64c+128c", n_launches=2)
+        row["surrogate_cost_ratio"] = cost64
+        row["mid_cost_ratio"] = cost128
+        rows.append(row)
+
     base = rows[0]["ess_per_s"]
     for r in rows:
         r["ess_speedup_vs_cold"] = r["ess_per_s"] / base

@@ -56,6 +56,7 @@ class Problem:
     # for the fused Pallas path (runner uses it when kernel_params["fused"])
     surrogate_potential_fn: Optional[Callable] = None  # cheap Φ* for da_pcn
     batched_surrogate_fn: Optional[Callable] = None  # fused-da_pcn Φ*
+    batched_mid_fn: Optional[Callable] = None  # middle level for 3-level DA
     # warm-started fused path: (phi2(U, x0) -> (phi, x), aux_dim)
     batched_warm_potential: Optional[tuple] = None
     # optional initial-position override (VI warm-start installs one):
@@ -910,6 +911,83 @@ def burgers_da_pcn() -> Problem:
         batched_potential_fn=phi_batched,
         surrogate_potential_fn=phi_surr,
         batched_surrogate_fn=phi_surr_batched,
+    )
+
+
+def _burgers_calibrated_surrogate(fwd, aux, prior, y, n_coarse, cfl_amax):
+    """Two-level-calibrated coarse Burgers misfit (see burgers_da_pcn for
+    the calibration rationale): bias-correct by the mean fine-coarse
+    discrepancy over prior draws, inflate per-observation noise by its std.
+    Returns (batched misfit (d, block)->(block,), single-particle misfit)."""
+    K = 16
+    n_fine = int(aux["n_cells"])
+    obs_fine = np.asarray(aux["obs_indices"])
+    obs_c = np.clip(
+        np.round((obs_fine + 0.5) * n_coarse / n_fine - 0.5).astype(int),
+        0, n_coarse - 1,
+    )
+    mean_c = np.sin(2 * np.pi * (np.arange(n_coarse) + 0.5) / n_coarse)
+    fwd_c, aux_c = burgers.make_burgers_forward(
+        n_cells=n_coarse, n_modes=K, alpha=1.5, field_scale=1.0,
+        t_final=0.2, mean_profile=mean_c, obs_indices=obs_c,
+        cfl_amax=cfl_amax,
+    )
+    U_cal = prior.sample(jax.random.key(402), (64,))
+    d_cal = np.asarray(jax.vmap(fwd)(U_cal) - jax.vmap(fwd_c)(U_cal))
+    y_surr = np.asarray(y) - d_cal.mean(axis=0)
+    scale = np.sqrt(0.02**2 + d_cal.std(axis=0) ** 2).astype(np.float32)
+    noise_s = dist.DiagGaussian(mean=jnp.zeros(len(y_surr)),
+                                scale=jnp.asarray(scale))
+    phi_s = potentials.misfit_potential(fwd_c, jnp.asarray(y_surr), noise_s)
+    return burgers.make_batched_misfit(aux_c, y_surr, scale), phi_s
+
+
+@register
+def burgers_da3_pcn() -> Problem:
+    """THREE-level fused delayed-acceptance pCN on the Burgers inversion
+    (round-3 P2): inner pCN subchain on the 64-cell CFL-0.9 surrogate,
+    middle corrections against the 128-cell CFL-0.9 surrogate (discrepancy
+    below the observation noise — its 2-level exact-correction acceptance
+    measured 0.82), one exact fine correction per outer step. Built
+    because 2-level DA plateaus at ~2.3x honest ESS: its fine-correction
+    acceptance decays with subchain length (0.274@k=16 → 0.167@k=48),
+    while the accurate middle level restores it (BASELINE.md table).
+    Posterior identical to ``burgers_pcn`` (exact corrections at both
+    levels — Christen–Fox composition; tests/test_fused_da.py::TestDA3)."""
+    n_fine, K, m = 128, 16, 16
+    mean_fine = np.sin(2 * np.pi * (np.arange(n_fine) + 0.5) / n_fine)
+    fwd, aux = burgers.make_burgers_forward(
+        n_cells=n_fine, n_modes=K, alpha=1.5, field_scale=1.0, t_final=0.2,
+        mean_profile=mean_fine,
+    )
+    prior = dist.DiagGaussian(mean=jnp.zeros(K), scale=jnp.ones(K))
+    u_true = prior.sample(jax.random.key(400))
+    noise = dist.DiagGaussian(mean=jnp.zeros(m), scale=0.02 * jnp.ones(m))
+    y = fwd(u_true) + noise.sample(jax.random.key(401))  # same data/posterior
+    phi = potentials.misfit_potential(fwd, y, noise)
+    phi_batched = burgers.make_batched_misfit(aux, y, 0.02)
+    surr_c, phi_surr = _burgers_calibrated_surrogate(fwd, aux, prior, y,
+                                                     64, 1.0)
+    surr_m, _ = _burgers_calibrated_surrogate(fwd, aux, prior, y, 128, 1.0)
+    return Problem(
+        name="burgers_da3_pcn",
+        dim=K,
+        prior=prior,
+        potential_fn=phi,
+        kernel="da_pcn",
+        kernel_params={"beta": 0.15, "k_inner": 8, "k_mid": 2,
+                       "fused": True},
+        n_chains=2048,
+        n_samples=400,
+        burn_in=100,  # outer steps (each = k_inner*k_mid inner pCN steps)
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="3-level DA: 64c inner subchain, 128c middle, exact fine "
+        "correction; posterior identical to burgers_pcn",
+        batched_potential_fn=phi_batched,
+        surrogate_potential_fn=phi_surr,
+        batched_surrogate_fn=surr_c,
+        batched_mid_fn=surr_m,
     )
 
 

@@ -388,6 +388,101 @@ def _make_da_pcn_step_builder(subchain_len):
     return builder
 
 
+def _make_da3_pcn_step_builder(k_inner, k_mid):
+    """Fused THREE-level delayed-acceptance pCN (round-3 ROADMAP P2).
+
+    Motivation, measured (benchmarks/burgers_da.py): 2-level DA plateaus at
+    ~2.3x honest ESS because pushing the subchain length k decays the
+    exact-correction acceptance (0.274 at k=16 -> 0.167 at k=48 on the
+    64-cell Burgers surrogate) — the endpoint drifts into surrogate-error
+    territory faster than the per-step cost falls. A MIDDLE level with
+    discrepancy below the observation noise (e.g. 128-cell @CFL0.9, whose
+    2-level outer acceptance measured 0.82) restores the top-level
+    acceptance while the cheap inner level still does the mixing.
+
+    Structure per outer step (Christen–Fox composition — each level's DA
+    chain is exactly invariant for its level's posterior, so the level
+    above may use its endpoint as a proposal with the between-level ratio):
+
+        for j2 < k_mid:                       # DA chain targeting π_mid
+            k_inner pCN steps against Φ_coarse
+            accept vs  (Φm(u)−Φm(v)) − (Φc(u)−Φc(v))
+        one fine correction vs (Φf(u)−Φf(v)) − (Φm(u)−Φm(v))
+
+    ``pots`` = (Φ_fine, Φ_mid, Φ_coarse), all (d, block) -> (block,).
+    Main accept channel = fine-correction rate; ``extra_out`` = middle-
+    correction rate (the inner rate equals the plain 2-level kernel's at
+    the same β — it is the same π_coarse chain — so it is not re-reported).
+    """
+    k1, k2 = int(k_inner), int(k_mid)
+
+    def builder(pots, beta, mean, scale):
+        pot_fine, pot_mid, pot_coarse = pots
+        contraction = jnp.sqrt(1.0 - beta * beta)
+
+        def init(pos):
+            block = pos.shape[1]
+            return (
+                pos,
+                pot_fine(pos),
+                pot_mid(pos),
+                pot_coarse(pos),
+                jnp.zeros((1, block), jnp.float32),  # mid-accept sum
+                jnp.float32(0.0),  # outer-step count
+            )
+
+        def step(carry, rand_n, rand_u):
+            pos0, phi0, mid0, surr0, mid_acc, cnt = carry
+            m = mean[:, None]
+            s = scale[:, None]
+            pos, mid, surr = pos0, mid0, surr0
+            for j2 in range(k2):  # middle-level DA steps (static unroll)
+                p1, s1 = pos, surr
+                for j1 in range(k1):  # inner pCN on the coarse level
+                    t = 4 * (j2 * k1 + j1)
+                    xi = s * rand_n(p1.shape, t)
+                    prop = m + contraction * (p1 - m) + beta * xi
+                    sp = pot_coarse(prop)
+                    log_u = jnp.log(rand_u((1, p1.shape[1]), t + 2))[0]
+                    take = log_u < (s1 - sp)  # NaN ratio -> False
+                    p1 = jnp.where(take[None, :], prop, p1)
+                    s1 = jnp.where(take, sp, s1)
+                mid_end = pot_mid(p1)
+                # π_coarse -> π_mid correction
+                lr = (mid - mid_end) - (surr - s1)
+                lr = jnp.where(jnp.isnan(lr), -jnp.inf, lr)
+                t_mid = 4 * k1 * k2 + 4 * j2 + 2
+                log_u = jnp.log(rand_u((1, p1.shape[1]), t_mid))[0]
+                take_m = log_u < lr
+                mid_acc = mid_acc + take_m[None, :].astype(jnp.float32)
+                pos = jnp.where(take_m[None, :], p1, pos)
+                mid = jnp.where(take_m, mid_end, mid)
+                surr = jnp.where(take_m, s1, surr)
+            phi_end = pot_fine(pos)
+            # π_mid -> π_fine correction
+            log_ratio = (phi0 - phi_end) - (mid0 - mid)
+            log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+            t_out = 4 * k1 * k2 + 4 * k2 + 2
+            log_u = jnp.log(rand_u((1, pos.shape[1]), t_out))[0]
+            accept = log_u < log_ratio
+            acc2 = accept[None, :]
+            return (
+                jnp.where(acc2, pos, pos0),
+                jnp.where(accept, phi_end, phi0),
+                jnp.where(accept, mid, mid0),
+                jnp.where(accept, surr, surr0),
+                mid_acc,
+                cnt + 1.0,
+            ), acc2
+
+        return init, step
+
+    builder.extra_out = lambda carry: carry[4] / jnp.maximum(
+        carry[5] * k2, 1.0
+    )
+    return builder
+
+
 def _make_pcn_warm_step_builder(aux_dim):
     """pCN whose potential carries an aux block (the warm-started CG
     solution): ``pot(U, x0) -> (phi, x)``. The aux follows the accept/reject
@@ -1443,6 +1538,85 @@ def fused_da_pcn_chain(
         ],
         seed,
         n_steps,
+        block_chains,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "mid_fn", "surrogate_fn", "n_steps",
+                     "k_inner", "k_mid", "block_chains"),
+)
+def fused_da3_pcn_chain(
+    potential_fn,
+    mid_fn,
+    surrogate_fn,
+    positions,
+    prior_mean,
+    prior_scale,
+    beta,
+    seed,
+    n_steps=100,
+    k_inner=8,
+    k_mid=4,
+    block_chains=256,
+):
+    """THREE-level delayed-acceptance pCN, fully fused: per outer step,
+    ``k_mid`` middle-level DA steps (each = ``k_inner`` pCN steps against
+    ``surrogate_fn`` + one ``mid_fn`` correction), then one ``potential_fn``
+    (exact) correction. All three potentials: (d, block) -> (block,).
+    Returns (final_positions, fine_accept_rate, mid_accept_rate). See
+    ``_make_da3_pcn_step_builder`` for the measured rationale."""
+    return _run_fused(
+        _make_da3_pcn_step_builder(k_inner, k_mid),
+        (potential_fn, mid_fn, surrogate_fn),
+        positions,
+        [
+            jnp.float32(beta),
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_scale, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        block_chains,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("potential_fn", "mid_fn", "surrogate_fn", "n_steps",
+                     "thin", "k_inner", "k_mid", "block_chains"),
+)
+def fused_da3_pcn_chain_recorded(
+    potential_fn,
+    mid_fn,
+    surrogate_fn,
+    positions,
+    prior_mean,
+    prior_scale,
+    beta,
+    seed,
+    n_steps=100,
+    thin=1,
+    k_inner=8,
+    k_mid=4,
+    block_chains=256,
+):
+    """3-level DA pCN with in-kernel trajectory recording; each recorded
+    step is one OUTER step (= k_inner*k_mid surrogate proposals + k_mid
+    middle + 1 fine correction)."""
+    return _run_fused_recorded(
+        _make_da3_pcn_step_builder(k_inner, k_mid),
+        (potential_fn, mid_fn, surrogate_fn),
+        positions,
+        [
+            jnp.float32(beta),
+            jnp.asarray(prior_mean, jnp.float32),
+            jnp.asarray(prior_scale, jnp.float32),
+        ],
+        seed,
+        n_steps,
+        thin,
         block_chains,
     )
 

@@ -388,13 +388,32 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
                 f"config {problem.name}: fused 'da_pcn' needs "
                 "batched_surrogate_fn"
             )
-        run_kw = dict(prior_mean=pm, prior_scale=ps,
-                      beta=kp.get("beta", 0.2),
-                      subchain_len=kp.get("subchain_len", 4))
-        chain = lambda p, pos, **kw: ops.fused_da_pcn_chain(
-            p, surr_b, pos, **kw)
-        chain_rec = lambda p, pos, **kw: ops.fused_da_pcn_chain_recorded(
-            p, surr_b, pos, **kw)
+        if kp.get("k_mid"):
+            # THREE-level variant (ops.fused_da3_pcn_chain): inner pCN on
+            # the coarse surrogate, middle corrections vs batched_mid_fn,
+            # one fine correction per outer step
+            mid_b = problem.batched_mid_fn
+            if mid_b is None:
+                raise ValueError(
+                    f"config {problem.name}: fused 3-level 'da_pcn' needs "
+                    "batched_mid_fn"
+                )
+            run_kw = dict(prior_mean=pm, prior_scale=ps,
+                          beta=kp.get("beta", 0.2),
+                          k_inner=kp.get("k_inner", 8),
+                          k_mid=kp["k_mid"])
+            chain = lambda p, pos, **kw: ops.fused_da3_pcn_chain(
+                p, mid_b, surr_b, pos, **kw)
+            chain_rec = lambda p, pos, **kw: ops.fused_da3_pcn_chain_recorded(
+                p, mid_b, surr_b, pos, **kw)
+        else:
+            run_kw = dict(prior_mean=pm, prior_scale=ps,
+                          beta=kp.get("beta", 0.2),
+                          subchain_len=kp.get("subchain_len", 4))
+            chain = lambda p, pos, **kw: ops.fused_da_pcn_chain(
+                p, surr_b, pos, **kw)
+            chain_rec = lambda p, pos, **kw: ops.fused_da_pcn_chain_recorded(
+                p, surr_b, pos, **kw)
         phi_full = phi_b
     elif problem.kernel == "pcn":
         beta = kp.get("beta", 0.2)
@@ -466,9 +485,12 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
 
     summ, diag_s = _summarize_timed(samples)
     # the kernel's extra_out channel: FES reports the stretch-move rate,
-    # DA-pCN the surrogate-subchain (inner) rate
+    # 2-level DA-pCN the surrogate-subchain (inner) rate, 3-level DA the
+    # middle-correction rate (its inner rate equals the 2-level kernel's
+    # at the same beta — same coarse chain)
     extra_key = (
-        "inner_accept_rate" if problem.kernel == "da_pcn"
+        ("mid_accept_rate" if problem.kernel_params.get("k_mid")
+         else "inner_accept_rate") if problem.kernel == "da_pcn"
         else "stretch_accept_rate"
     )
     extra = (

@@ -125,3 +125,83 @@ def test_burgers_da_config_posterior_parity():
     np.testing.assert_allclose(mu_da[:6], mu_ref[:6], atol=0.15)
     assert m_da["accept_rate"] > 0.15  # calibrated surrogate: corrections pass
     assert 0.1 < m_da["inner_accept_rate"] < 0.9
+
+
+class TestDA3:
+    """Three-level fused delayed acceptance (ops.fused_da3_pcn_chain)."""
+
+    def test_perfect_levels_always_accept(self):
+        """All three potentials equal: both correction ratios are
+        identically 1 — fine AND middle acceptance are exactly 1."""
+        from ip_mcmc_tpu.ops import fused_da3_pcn_chain
+
+        pos = jax.random.normal(jax.random.key(1), (256, D))
+        _, acc, mid = fused_da3_pcn_chain(
+            phi_exact, phi_exact, phi_exact, pos, PM, PS, 0.3, 5,
+            n_steps=30, k_inner=4, k_mid=3, block_chains=256)
+        np.testing.assert_array_equal(np.asarray(acc), 1.0)
+        np.testing.assert_array_equal(np.asarray(mid), 1.0)
+
+    def test_exact_posterior_with_biased_levels(self):
+        """Deliberately wrong coarse AND middle levels must still yield
+        the exact posterior (both corrections are exact MH ratios)."""
+        from ip_mcmc_tpu.ops import fused_da3_pcn_chain_recorded
+
+        def surr_c(U):  # badly biased coarse level
+            return 0.8 * phi_exact(U + 0.3) + 1.7
+
+        def surr_m(U):  # mildly biased middle level
+            return 1.05 * phi_exact(U + 0.05) - 0.4
+
+        pos = jax.random.normal(jax.random.key(0), (512, D))
+        n_steps = 400
+        _, acc, samples = fused_da3_pcn_chain_recorded(
+            phi_exact, surr_m, surr_c, pos, PM, PS, 0.3, 3,
+            n_steps=n_steps, thin=1, k_inner=4, k_mid=2, block_chains=256)
+        flat = np.asarray(samples)[n_steps // 4:].reshape(-1, D)
+        np.testing.assert_allclose(flat.mean(axis=0), np.zeros(D), atol=0.06)
+        np.testing.assert_allclose(flat.var(axis=0), _post_var(), rtol=0.12)
+
+    def test_middle_level_restores_fine_acceptance(self):
+        """The 3-level design claim, on the analytic target: with a biased
+        coarse level, inserting an ACCURATE middle level raises the fine
+        correction acceptance above the 2-level kernel's at the same total
+        subchain length."""
+        from ip_mcmc_tpu.ops import fused_da3_pcn_chain, fused_da_pcn_chain
+
+        def surr_c(U):
+            return 0.8 * phi_exact(U + 0.3) + 1.7
+
+        def surr_m(U):  # accurate middle (small perturbation)
+            return phi_exact(U) + 0.01 * jnp.sum(U, axis=0)
+
+        pos = jax.random.normal(jax.random.key(2), (512, D))
+        _, acc2, _ = fused_da_pcn_chain(
+            phi_exact, surr_c, pos, PM, PS, 0.3, 7,
+            n_steps=60, subchain_len=8, block_chains=256)
+        _, acc3, mid3 = fused_da3_pcn_chain(
+            phi_exact, surr_m, surr_c, pos, PM, PS, 0.3, 7,
+            n_steps=60, k_inner=4, k_mid=2, block_chains=256)
+        assert float(np.asarray(acc3).mean()) > float(np.asarray(acc2).mean())
+        assert float(np.asarray(acc3).mean()) > 0.9  # accurate middle
+        assert 0.0 < float(np.asarray(mid3).mean()) < 1.0
+
+    def test_recorded_matches_plain_endpoint(self):
+        from ip_mcmc_tpu.ops import (fused_da3_pcn_chain,
+                                     fused_da3_pcn_chain_recorded)
+
+        def surr_c(U):
+            return 0.9 * phi_exact(U) + 0.2
+
+        def surr_m(U):
+            return phi_exact(U) - 0.1
+
+        pos = jax.random.normal(jax.random.key(3), (256, D))
+        f1, a1, mid = fused_da3_pcn_chain(
+            phi_exact, surr_m, surr_c, pos, PM, PS, 0.3, 9,
+            n_steps=40, k_inner=3, k_mid=2, block_chains=256)
+        f2, a2, _ = fused_da3_pcn_chain_recorded(
+            phi_exact, surr_m, surr_c, pos, PM, PS, 0.3, 9,
+            n_steps=40, thin=1, k_inner=3, k_mid=2, block_chains=256)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
