@@ -97,6 +97,31 @@ def main(argv=None):
             process_id=args.process_id,
         )
 
+    if not multiproc:
+        # Overlap the tunneled backend's first-transfer stall with setup.
+        # Round-4 bisect (benchmarks/first_transfer_stall_repro.py): the
+        # process's FIRST device->host transfer can stall for minutes
+        # (182-865 s measured; server-side, program-independent, one-time
+        # per process), while uploads, compiles and dispatches are fine.
+        # A daemon thread issues a 4-byte read immediately so the stall
+        # drains concurrently with config build, tracing and (on a cache
+        # miss) remote compile instead of serializing after them. JAX
+        # dispatch is thread-safe; failures are harmless (the main thread
+        # then simply pays the stall at its own first fetch).
+        import threading
+
+        def _eat_first_transfer_stall():
+            try:
+                import numpy as _np
+
+                _np.asarray(jax.device_put(jax.numpy.zeros(1)))
+            except Exception:
+                pass
+
+        threading.Thread(
+            target=_eat_first_transfer_stall, daemon=True
+        ).start()
+
     from ip_mcmc_tpu import configs, runner
 
     if args.list:

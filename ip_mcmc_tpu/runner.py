@@ -35,27 +35,32 @@ from ip_mcmc_tpu.kernels import (
 )
 
 
-def _build_kernel_and_state(problem, key, n_chains):
-    """Returns (kernel, state, warmup_time_s). Warmup replaces burn-in when
-    kernel_params['adapt'] is set (adaptation doubles as burn-in)."""
+def _setup_kernel_state(problem, positions, key_warm):
+    """Kernel/state construction core: (positions, key_warm) →
+    (kernel, state, warm_steps). Pure in its array arguments, so it can be
+    traced INTO the one-dispatch pipeline program (_run_one_dispatch) or run
+    eagerly by _build_kernel_and_state. Warmup replaces burn-in when
+    kernel_params['adapt'] is set (adaptation doubles as burn-in);
+    ``warm_steps`` counts the chain steps warmup/map_init executed so
+    throughput accounting stays honest when everything is one program."""
     kp = dict(problem.kernel_params)
     adapt = kp.pop("adapt", False)
     map_init = kp.pop("map_init", 0)
     kp.pop("fused", None)  # handled by run_problem; ignored on other paths
     kp.pop("block_chains", None)
     kp.pop("vi_init", None)  # VI warm start: consumed by run_problem
-    key_init, key_warm = jax.random.split(key)
-    positions = problem.init_positions(key_init, n_chains)
-    t0 = time.perf_counter()
+    warm_steps = 0
     if map_init and problem.kernel in ("mala", "hmc", "nuts"):
         positions = warmup.map_localize(
             problem.log_density_fn, positions, num_steps=map_init
         )
+        warm_steps += map_init
 
     if problem.kernel == "rwm":
         logpi = problem.log_density_fn
         state = driver.init_chains(rwm.init, positions, logpi)
         if adapt:
+            warm_steps += problem.burn_in or 300
             state, step_size, chol = warmup_rwm(
                 logpi, state, key_warm, num_steps=problem.burn_in or 300,
                 initial_step_size=kp.get("step_size", 0.5),
@@ -67,6 +72,7 @@ def _build_kernel_and_state(problem, key, n_chains):
         phi, prior = problem.potential_fn, problem.prior
         state = driver.init_chains(pcn.init, positions, phi)
         if adapt:
+            warm_steps += problem.burn_in or 300
             state, beta = warmup_pcn(
                 phi, prior, state, key_warm, num_steps=problem.burn_in or 300,
                 initial_beta=kp.get("beta", 0.2),
@@ -81,6 +87,17 @@ def _build_kernel_and_state(problem, key, n_chains):
             raise ValueError(
                 f"config {problem.name}: kernel 'da_pcn' needs surrogate_potential_fn"
             )
+        if "k_mid" in kp or "k_inner" in kp:
+            # 3-level delayed acceptance exists only as the fused Pallas
+            # step builder (ops.fused_da3_pcn_chain); without it the
+            # k_inner/k_mid params would reach da_pcn.build_kernel as
+            # unknown kwargs (ADVICE round 3) — fail with the real reason.
+            raise ValueError(
+                f"config {problem.name}: 3-level delayed acceptance "
+                "(k_inner/k_mid) is fused-only — set kernel_params"
+                "['fused']=True and provide batched potential/mid/surrogate "
+                "functions (see burgers_da3_pcn)"
+            )
         state = driver.init_chains(
             lambda pos: da_pcn.init(pos, phi, surr), positions
         )
@@ -93,6 +110,7 @@ def _build_kernel_and_state(problem, key, n_chains):
         logpi = problem.log_density_fn
         state = driver.init_chains(mala.init, positions, logpi)
         if adapt:
+            warm_steps += problem.burn_in or 300
             state, eps, precond = warmup_mala(
                 logpi, state, key_warm, num_steps=problem.burn_in or 300,
                 initial_step_size=kp.get("step_size", 0.05),
@@ -105,6 +123,7 @@ def _build_kernel_and_state(problem, key, n_chains):
         state = driver.init_chains(hmc.init, positions, logpi)
         nint = kp.get("num_integration_steps", 8)
         if adapt:
+            warm_steps += problem.burn_in or 300
             state, eps, inv_mass = warmup_hmc(
                 logpi, state, key_warm, num_steps=problem.burn_in or 300,
                 num_integration_steps=nint,
@@ -120,6 +139,7 @@ def _build_kernel_and_state(problem, key, n_chains):
         state = driver.init_chains(nuts.init, positions, logpi)
         md = kp.get("max_depth", 8)
         if adapt:
+            warm_steps += problem.burn_in or 200
             state, eps, inv_mass = warmup_nuts(
                 logpi, state, key_warm, num_steps=problem.burn_in or 200,
                 max_depth=md, initial_step_size=kp.get("step_size", 0.1),
@@ -132,6 +152,16 @@ def _build_kernel_and_state(problem, key, n_chains):
     else:
         raise ValueError(f"unknown kernel {problem.kernel}")
 
+    return kernel, state, warm_steps
+
+
+def _build_kernel_and_state(problem, key, n_chains):
+    """Eager wrapper over _setup_kernel_state: draws initial positions and
+    times warmup. Returns (kernel, state, warmup_time_s)."""
+    key_init, key_warm = jax.random.split(key)
+    positions = problem.init_positions(key_init, n_chains)
+    t0 = time.perf_counter()
+    kernel, state, _ = _setup_kernel_state(problem, positions, key_warm)
     jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
     return kernel, state, time.perf_counter() - t0
 
@@ -151,8 +181,167 @@ def _summarize_timed(samples):
 # metric keys that name wall-time phases (used for attribution in
 # _finalize; note rate keys like steps_per_s also end in "_s")
 _PHASE_KEYS = (
-    "warmup_s", "compile_s", "run_s", "diag_s", "fit_s", "vi_fit_s",
+    "warmup_s", "trace_s", "compile_s", "first_dispatch_s", "run_s",
+    "diag_s", "fit_s", "vi_fit_s",
 )
+
+
+def _run_one_dispatch(problem, key, n_chains, n_samples, mesh=None,
+                      profile_dir=None):
+    """Single-program path for the scan kernels (rwm/pcn/mala/hmc/nuts/
+    elliptical/da_pcn): warmup + burn-in + sampling + ESS/R̂ diagnostics
+    traced into ONE jitted program, dispatched via the AOT API so every
+    wall-second has a name.
+
+    Round-3 VERDICT weak #1: on the tunneled single-chip toolchain, each
+    program's first dispatch can stall for minutes EVEN ON a persistent-
+    cache hit, and the old 4-program CLI (warmup, sampling, sampling again,
+    diagnostics) exposed itself to that stall up to 3× per run while booking
+    it all as ``compile_s``. This path (a) minimizes program count to one,
+    and (b) splits the attribution:
+
+      trace_s            local Python tracing + StableHLO lowering
+      compile_s          ``lowered.compile()`` — persistent-cache load on
+                         hit, remote XLA/Mosaic compile on miss
+      first_dispatch_s   first-call wall MINUS the steady-state re-run —
+                         the executable-load/first-dispatch stall that was
+                         previously masquerading as compile time
+      run_s              steady-state whole-program execution (second call,
+                         same keys — bitwise-identical work)
+
+    ``steps_per_s`` counts EVERY chain step the program executes (map_init +
+    warmup + burn-in + thinned sampling), since they all happen inside
+    ``run_s``; ``diag_s`` no longer exists as a phase — diagnostics run
+    inside the program (SURVEY.md §5.5 "diagnostics on-device")."""
+    kp = problem.kernel_params
+    adapted = kp.get("adapt", False)
+    burn = 0 if adapted else problem.burn_in
+    thin = problem.thin
+
+    key_build, key_run = jax.random.split(key)
+    warm_steps_box = {"n": 0}  # static int, recorded during tracing
+    eager_warm_s = None
+
+    if mesh is None:
+        # ONE program: warmup + burn + sample + diagnostics. Warmup's
+        # pooled-statistics reductions stay inside the trace, so no
+        # hyper-parameter constants ever cross a program boundary (the
+        # device->host fetch that used to absorb the tunnel stall).
+        def pipeline(positions, key_warm, key_run):
+            kernel, state, warm_steps = _setup_kernel_state(
+                problem, positions, key_warm
+            )
+            warm_steps_box["n"] = warm_steps
+            final_state, samples, info_means = driver.sample_chains(
+                kernel, state, key_run,
+                n_samples=n_samples, burn_in=burn, thin=thin,
+            )
+            summ = diagnostics.summarize(samples)
+            return summ, info_means
+
+        key_init, key_warm = jax.random.split(key_build)
+        positions = problem.init_positions(key_init, n_chains)
+        args = (positions, key_warm, key_run)
+        program_count = 1
+    else:
+        # Mesh runs keep warmup EAGER and REPLICATED (two dispatches).
+        # Folding warmup into the sharded program would route its pooled
+        # statistics through cross-process psums whose association order
+        # differs from the single-process run; MH accept thresholds then
+        # amplify the ulp-level differences into divergent chains — the
+        # multiprocess product tests assert the sharded run matches the
+        # single-process run, which per-chain-deterministic sampling
+        # guarantees only when warmup (the one cross-chain-coupled phase)
+        # is computed identically (replicated) everywhere. The tunnel-
+        # stall motivation for one dispatch is a single-chip pathology;
+        # pod environments keep the classic 2-program shape.
+        from ip_mcmc_tpu import parallel
+
+        kernel, state, eager_warm_s = _build_kernel_and_state(
+            problem, key_build, n_chains
+        )
+        state = parallel.shard_chains(state, mesh)
+
+        def pipeline(state, key_run):
+            final_state, samples, info_means = driver.sample_chains(
+                kernel, state, key_run,
+                n_samples=n_samples, burn_in=burn, thin=thin,
+            )
+            summ = diagnostics.summarize(samples)
+            return summ, info_means
+
+        args = (state, key_run)
+        program_count = 2
+
+    t0 = time.perf_counter()
+    lowered = jax.jit(pipeline).lower(*args)
+    trace_s = time.perf_counter() - t0
+    warm_steps = warm_steps_box["n"]
+
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    compile_s = time.perf_counter() - t0
+
+    # sync via a device->host transfer of a scalar, NOT block_until_ready:
+    # on the tunneled backend block_until_ready has returned early (ROADMAP
+    # round-3 note), and round-4's bisect (benchmarks/dispatch_stall_probe)
+    # showed the process's FIRST device->host transfer absorbing the whole
+    # multi-minute tunnel stall — so an untransferred "first call" would
+    # time as ~0 s and the stall would land unattributed on whichever later
+    # line first touches a value. The 4-byte scalar read is the honest
+    # barrier; first_dispatch_s therefore owns the stall by construction.
+    t0 = time.perf_counter()
+    out = compiled(*args)
+    float(out[0]["min_ess"])
+    first_call_s = time.perf_counter() - t0
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+    t0 = time.perf_counter()
+    summ, info_means = compiled(*args)
+    float(summ["min_ess"])
+    run_s = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+
+    total_steps = (warm_steps + burn + n_samples * thin) * n_chains
+    flat_mean = np.asarray(summ["mean"])
+    metrics = {
+        "config": problem.name,
+        "kernel": problem.kernel,
+        "n_chains": int(n_chains),
+        "n_samples": int(n_samples),
+        "dim": int(problem.dim),
+        "program_count": program_count,
+        "trace_s": trace_s,
+        "compile_s": compile_s,
+        "first_dispatch_s": max(first_call_s - run_s, 0.0),
+        "run_s": run_s,
+        "steps_per_s": total_steps / run_s,
+        "min_ess": float(summ["min_ess"]),
+        "ess_per_s": float(summ["min_ess"]) / run_s,
+        "max_rhat": float(summ["max_rhat"]),
+        "posterior_mean": flat_mean.tolist(),
+    }
+    if eager_warm_s is not None:
+        metrics["warmup_s"] = eager_warm_s
+    if hasattr(info_means, "accepted"):
+        metrics["accept_rate"] = float(np.asarray(info_means.accepted).mean())
+    if hasattr(info_means, "accept_prob") and problem.kernel == "nuts":
+        metrics["accept_rate"] = float(
+            np.asarray(info_means.accept_prob).mean()
+        )
+        metrics["mean_tree_depth"] = float(np.asarray(info_means.depth).mean())
+    if problem.truth is not None and problem.name in (
+        "lingauss_pcn", "lingauss_elliptical"
+    ):
+        metrics["mean_error_vs_exact"] = float(
+            np.abs(flat_mean - problem.truth).max()
+        )
+    trace = getattr(
+        info_means, "accepted", getattr(info_means, "accept_prob", None)
+    )
+    return metrics, trace
 
 
 def _finalize(metrics, metrics_log, t_start, accept_trace=None):
@@ -168,6 +357,14 @@ def _finalize(metrics, metrics_log, t_start, accept_trace=None):
     metrics["unattributed_s"] = metrics["total_wall_s"] - sum(
         metrics.get(k, 0.0) for k in _PHASE_KEYS
     )
+    if "min_ess" in metrics:
+        # the rate a user actually experiences for THIS invocation,
+        # compile/dispatch walls included (round-3 VERDICT weak #6:
+        # ess_per_s alone, a steady-state rate, invites misquotation on
+        # runs whose wall is dominated by first-dispatch cost)
+        metrics["ess_per_total_wall_s"] = (
+            metrics["min_ess"] / metrics["total_wall_s"]
+        )
     rhat = metrics.get("max_rhat")
     if rhat is not None:
         metrics["converged"] = bool(rhat < 1.1)
@@ -259,67 +456,10 @@ def run_problem(
         metrics = _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=mesh)
         return _finalize(metrics, metrics_log, t_start)
 
-    key_build, key_run = jax.random.split(key)
-    kernel, state, warm_s = _build_kernel_and_state(problem, key_build, n_chains)
-    if mesh is not None:
-        from ip_mcmc_tpu import parallel
-
-        state = parallel.shard_chains(state, mesh)
-
-    adapted = problem.kernel_params.get("adapt", False)
-    burn = 0 if adapted else problem.burn_in
-
-    def _sample():
-        return driver.sample_chains(
-            kernel, state, key_run,
-            n_samples=n_samples, burn_in=burn, thin=problem.thin,
-        )
-
-    # compile (cached afterwards), then timed run
-    t0 = time.perf_counter()
-    out = _sample()
-    jax.block_until_ready(out[1])
-    compile_and_run_s = time.perf_counter() - t0
-
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
-    t0 = time.perf_counter()
-    final_state, samples, infos = _sample()
-    jax.block_until_ready(samples)
-    run_s = time.perf_counter() - t0
-    if profile_dir:
-        jax.profiler.stop_trace()
-
-    total_steps = (burn + n_samples * problem.thin) * n_chains
-    summ, diag_s = _summarize_timed(samples)
-    flat_mean = np.asarray(summ["mean"])
-    metrics = {
-        "config": problem.name,
-        "kernel": problem.kernel,
-        "n_chains": int(n_chains),
-        "n_samples": int(n_samples),
-        "dim": int(problem.dim),
-        "warmup_s": warm_s,
-        "compile_s": max(compile_and_run_s - run_s, 0.0),
-        "run_s": run_s,
-        "steps_per_s": total_steps / run_s,
-        "diag_s": diag_s,
-        "min_ess": float(summ["min_ess"]),
-        "ess_per_s": float(summ["min_ess"]) / run_s,
-        "max_rhat": float(summ["max_rhat"]),
-        "posterior_mean": flat_mean.tolist(),
-    }
-    if hasattr(infos, "accepted"):
-        metrics["accept_rate"] = float(np.asarray(infos.accepted).mean())
-    if hasattr(infos, "accept_prob") and problem.kernel == "nuts":
-        metrics["accept_rate"] = float(np.asarray(infos.accept_prob).mean())
-        metrics["mean_tree_depth"] = float(np.asarray(infos.depth).mean())
-    if problem.truth is not None and problem.name in ("lingauss_pcn", "lingauss_elliptical"):
-        metrics["mean_error_vs_exact"] = float(
-            np.abs(flat_mean - problem.truth).max()
-        )
+    metrics, trace = _run_one_dispatch(
+        problem, key, n_chains, n_samples, mesh=mesh, profile_dir=profile_dir
+    )
     metrics.update(vi_extra)
-    trace = getattr(infos, "accepted", getattr(infos, "accept_prob", None))
     return _finalize(metrics, metrics_log, t_start, accept_trace=trace)
 
 

@@ -463,8 +463,18 @@ def test_cli_two_process_launch_merges_metrics():
     assert m["global_devices"] == 4  # 2 procs x 2 virtual CPU devices
     assert m["n_chains"] == 8
 
-    # reference: single-process CLI, same config/seed
-    ref = _run_cli(args)
+    # reference: single-process CLI, same config/seed, same PROGRAM SHAPE
+    # (--devices => the mesh path: eager replicated warmup + sharded
+    # sampling program). Round 4 made the no-mesh CLI a ONE-program path
+    # (runner._run_one_dispatch); jit inlining changes fusion, which
+    # shifts prior.sample/log-density by ulps, which MH accept thresholds
+    # amplify — so bitwise comparability only holds within a shape. What
+    # this test actually asserts is that the PROCESS boundary adds
+    # nothing: 2 procs x 2 devices must match 1 proc x 2 devices, both on
+    # the mesh path (warmup computed replicated-identically, per-chain
+    # sampling deterministic under GSPMD repartitioning — the same
+    # mesh-shape invariance test_sharding pins for the kernels).
+    ref = _run_cli([*args, "--devices", "2"])
     assert ref.returncode == 0, ref.stdout
     ref_line = [
         ln for ln in ref.stdout.splitlines()
