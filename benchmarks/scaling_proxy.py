@@ -1,0 +1,158 @@
+"""Software-proxy multi-process scaling curve (round-3 VERDICT item 4).
+
+BASELINE target 2 (≥80% samples/s efficiency, 1 host → N hosts) is
+hardware-gated in this environment (single chip via tunnel, no pod). The
+2-process CLI test proves LAUNCHABILITY; this benchmark measures the
+EFFICIENCY of the software path as far as software can: the Darcy pCN
+workload at a FIXED global device count (4 virtual CPU devices) and FIXED
+total chain count, partitioned across 1, 2 and 4 OS processes.
+
+Holding devices and chains constant isolates exactly what changes on a pod
+— the process boundary: jax.distributed bootstrap, GSPMD partitioning over
+a multi-process mesh, and the cross-process collective path (the driver's
+on-device info reductions all_reduce over the sharded chain axis on every
+retained step). Per-device compute is identical in every row, so
+efficiency = rate_N / rate_1 is the process-boundary overhead alone.
+
+CAVEATS (stated in BASELINE.md where the table lands): (1) cross-process
+collectives here ride gRPC over localhost, not ICI/DCN; (2) this host has
+2 physical cores, so the 2- and 4-process rows oversubscribe XLA's CPU
+thread pools 2×/4× — the measured efficiency is therefore a LOWER BOUND
+that conflates collective latency with core contention. The table's value
+is that the multi-process partitioned-mesh collective path runs end-to-end
+with real numbers and identical statistics per row (accept rates match
+bitwise-testable determinism); a pod run replaces it by launching the same
+workload via the CLI's --coordinator flags.
+
+Run: python benchmarks/scaling_proxy.py [--steps N] [--chains N] [--out f]
+(spawns its own workers; ~2 min on 4 CPU cores).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOTAL_DEVICES = 4
+
+
+def worker(args):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if args.num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{args.port}",
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    import numpy as np
+
+    from ip_mcmc_tpu import driver, parallel
+    from benchmarks.scaling import build_problem
+
+    kernel, prior, phi = build_problem()
+    from ip_mcmc_tpu.kernels import pcn
+
+    mesh = parallel.make_chain_mesh()  # all global devices
+    positions = prior.sample(jax.random.key(3), (args.chains,))
+    state = driver.init_chains(pcn.init, positions, phi)
+    state = parallel.shard_chains(state, mesh)
+
+    def run(n_steps):
+        st, s, infos = driver.sample_chains(
+            kernel, state, jax.random.key(4),
+            n_samples=n_steps, burn_in=0, thin=1,
+        )
+        # touch a reduced value: forces the info all_reduce path and is
+        # the timing barrier (CPU backend, block semantics are sound here)
+        return float(np.asarray(infos.accepted).mean())
+
+    run(2)  # compile
+    t0 = time.perf_counter()
+    acc = run(args.steps)
+    dt = time.perf_counter() - t0
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "num_processes": args.num_processes,
+            "devices": len(jax.devices()),
+            "chains": args.chains,
+            "steps": args.steps,
+            "wall_s": dt,
+            "steps_per_s": args.chains * args.steps / dt,
+            "accept": acc,
+        }), flush=True)
+
+
+def launch(num_processes, chains, steps, port):
+    per_proc_devices = TOTAL_DEVICES // num_processes
+    procs = []
+    for pid in range(num_processes):
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["PYTHONPATH"] = REPO
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={per_proc_devices}"
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--num-processes", str(num_processes), "--process-id", str(pid),
+             "--chains", str(chains), "--steps", str(steps),
+             "--port", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append((p.returncode, out))
+    for rc, out in outs:
+        if rc != 0:
+            raise RuntimeError(f"worker failed rc={rc}:\n{out}")
+    for rc, out in outs:
+        for line in out.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+    raise RuntimeError(f"no result line; outputs: {outs}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--chains", type=int, default=2048)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--port", type=int, default=8786)
+    ap.add_argument("--out", default="benchmarks/scaling_proxy.json")
+    args = ap.parse_args()
+    if args.worker:
+        return worker(args)
+
+    rows = []
+    for n in (1, 2, 4):
+        row = launch(n, args.chains, args.steps, args.port + n)
+        rows.append(row)
+        print(f"{n} proc x {TOTAL_DEVICES // n} dev: "
+              f"{row['steps_per_s']:,.0f} steps/s", file=sys.stderr,
+              flush=True)
+    base = rows[0]["steps_per_s"]
+    for r in rows:
+        r["efficiency_vs_1proc"] = r["steps_per_s"] / base
+    result = {
+        "workload": "darcy16 pCN, fixed 4 virtual CPU devices, fixed "
+                    f"{args.chains} chains, {args.steps} steps",
+        "caveat": "localhost gRPC collectives, not ICI/DCN; efficiency "
+                  "shape only — a pod run replaces this table",
+        "rows": rows,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(f"written: {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
