@@ -62,6 +62,10 @@ class Problem:
     # optional initial-position override (VI warm-start installs one):
     # (key, n) -> (n, dim)
     init_positions_fn: Optional[Callable] = None
+    # online POD enrichment hook (darcy.make_pod_surrogate_online):
+    # enrich(positions) -> (new surrogate_fn, indicator stats); consumed by
+    # runner._pod_enrich_burnin when kernel_params["pod_enrich"] is set
+    surrogate_enrich_fn: Optional[Callable] = None
 
     @property
     def log_density_fn(self):
@@ -734,6 +738,44 @@ def darcy_da_pod() -> Problem:
 
 
 @register
+def darcy_da_pod_online() -> Problem:
+    """`darcy_da_pod` with ONLINE POD enrichment (round-4; ROADMAP P2's
+    last lever): starts from a deliberately small prior-draw snapshot set
+    (24 solves, auto rank), then, between burn-in segments, full-solves
+    the chain positions with the worst reduced-residual indicator and
+    rebuilds the basis — enrichment at posterior-typical states. The
+    surrogate is frozen before any recorded sample (runner.
+    _pod_enrich_burnin), so the DA-corrected posterior is exact by
+    construction; the metrics record the decreasing indicator history."""
+    phi, prior, y, u_true, phi_batched = _darcy_problem()
+    _, aux = darcy.make_darcy_forward(
+        n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+    )
+    phi_pod, enrich = darcy.make_pod_surrogate_online(
+        aux, y, 0.002, jax.random.key(777), n_snapshots=24, rank="auto",
+        enrich_batch=8,
+    )
+    return Problem(
+        name="darcy_da_pod_online",
+        dim=64,
+        prior=prior,
+        potential_fn=phi,
+        kernel="da_pcn",
+        kernel_params={"beta": 0.08, "subchain_len": 4,
+                       "pod_enrich": {"epochs": 3, "segment_steps": 40}},
+        n_chains=4096,
+        n_samples=250,
+        burn_in=150,
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="online-enriched reduced-order subchain + exact correction",
+        batched_potential_fn=phi_batched,
+        surrogate_potential_fn=phi_pod,
+        surrogate_enrich_fn=enrich,
+    )
+
+
+@register
 def darcy_smc() -> Problem:
     """BASELINE config 5: adaptive tempered SMC on the Darcy inverse problem."""
     phi, prior, y, u_true, _ = _darcy_problem()
@@ -838,7 +880,10 @@ def burgers_da_pcn() -> Problem:
     (benchmarks/burgers_da.py, honest-ESS grid over resolution × subchain
     length): 64 cells at CFL≈0.9 — half the cells AND ~3x coarser time
     steps than the fine 128-cell/CFL~0.3 model (cost ratio 1/11.9), with
-    subchain_len=16 → 2.32x the cold fused kernel's ESS/s. Space-only
+    subchain_len=16 → 2.22x the cold fused kernel's ESS/s in the sweep
+    (benchmarks/burgers_da.json; a separate BASELINE.md re-run of the
+    shipped config measured 2.32x — run-to-run spread, both honest-ESS).
+    Space-only
     coarsening to 32 cells (the round-2 first cut) measured WORSE (its
     O(h) shock error is up to 8x the observation noise at shock-adjacent
     points); time-coarsening preserves the shock position, which is a
@@ -952,6 +997,14 @@ def burgers_da3_pcn() -> Problem:
     because 2-level DA plateaus at ~2.3x honest ESS: its fine-correction
     acceptance decays with subchain length (0.274@k=16 → 0.167@k=48),
     while the accurate middle level restores it (BASELINE.md table).
+    Ships the round-4 sweep optimum (k_inner=8, k_mid=24, beta=0.25 →
+    **6.79x** the cold fused kernel's honest ESS/s;
+    benchmarks/burgers_da3_sweep.py): the round-4 sweep found 128c-middle
+    dominant (96c middles collapse the fine-correction acceptance to
+    ~0.33), the k2 frontier paying until ~(8,24-32) where the curve
+    plateaus at ~6.8x (outer acceptance still 0.78 — the binding limit is
+    recorded-sample decorrelation, per-sample ESS 0.14 at the optimum),
+    and beta=0.25 strictly better than 0.15/0.2 at large k2.
     Posterior identical to ``burgers_pcn`` (exact corrections at both
     levels — Christen–Fox composition; tests/test_fused_da.py::TestDA3)."""
     n_fine, K, m = 128, 16, 16
@@ -975,7 +1028,7 @@ def burgers_da3_pcn() -> Problem:
         prior=prior,
         potential_fn=phi,
         kernel="da_pcn",
-        kernel_params={"beta": 0.15, "k_inner": 8, "k_mid": 2,
+        kernel_params={"beta": 0.25, "k_inner": 8, "k_mid": 24,
                        "fused": True},
         n_chains=2048,
         n_samples=400,

@@ -335,25 +335,30 @@ def _operator_diagonal_flat(a, n, masks, t_h, t_v):
     return d + 2.0 * h2 * a * masks["edge"]
 
 
-def _cg_flat(a, b, n, masks, t_h, t_v, inv_diag, n_iters, x0=None, inv_m=None):
+def _cg_flat(a, b, n, masks, t_h, t_v, inv_diag, n_iters, x0=None, inv_m=None,
+             apply_fn=None):
     """Batched PCG on the flat (n², block) layout — shifts + elementwise +
     per-chain reductions (Mosaic-lowerable). ``inv_m`` overrides the Jacobi
-    preconditioner (e.g. the flat DST fast-Poisson apply)."""
+    preconditioner (e.g. the flat DST fast-Poisson apply); ``apply_fn``
+    overrides the operator apply (e.g. the bf16 mixed-precision variant —
+    CG vectors and reductions stay f32 either way)."""
     if inv_m is None:
         inv_m = lambda r: inv_diag * r
+    if apply_fn is None:
+        apply_fn = lambda p: _apply_operator_flat(a, p, n, masks, t_h, t_v)
 
     def dots(u, v):
         return jnp.sum(u * v, axis=0)  # (block,)
 
     x = jnp.zeros_like(b) if x0 is None else x0
-    r = b if x0 is None else b - _apply_operator_flat(a, x, n, masks, t_h, t_v)
+    r = b if x0 is None else b - apply_fn(x)
     z = inv_m(r)
     p = z
     rz = dots(r, z)
 
     def body(_, carry):
         x, r, p, rz = carry
-        Ap = _apply_operator_flat(a, p, n, masks, t_h, t_v)
+        Ap = apply_fn(p)
         pAp = dots(p, Ap)
         alpha = jnp.where(pAp > 0.0, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
         x = x + alpha[None, :] * p
@@ -573,7 +578,8 @@ def make_batched_misfit(aux, data, noise_scale, cg_iters: int = 48,
 
 def make_batched_misfit_warm(aux, data, noise_scale, cg_iters: int = 16,
                              log_a_mean: float = 0.0, precond: str = "jacobi",
-                             precond_modes: int = 128):
+                             precond_modes: int = 128,
+                             mixed_precision: str = "none"):
     """WARM-STARTED batched misfit for the fused pCN path: ``phi2(U, x0) ->
     (phi, x)`` where ``x0`` is the CG start (the chain's previous accepted
     solution) and ``x`` the converged pressure, carried in the kernel state
@@ -595,6 +601,15 @@ def make_batched_misfit_warm(aux, data, noise_scale, cg_iters: int = 16,
     DST option that SCALES: O(K·n²) per apply, (n², K) factors; use for
     n ≥ 32 (round-1 VERDICT item 6).
 
+    ``mixed_precision`` (round-4 VERDICT item 5 — one measured lever on the
+    VPU-bound post-swap kernel): "none" (f32 everywhere, the shipping
+    default), "recon" (KL field reconstruction matmul with bf16 inputs /
+    f32 accumulation — MXU at 2× rate, exp stays f32), or "recon+op"
+    (additionally the CG operator apply — transmissibilities and stencil
+    fluxes — in bf16, with CG vectors, reductions and axpy updates kept
+    f32). Gated like every kernel swap: accept/warm-Φ/moment parity in
+    ``benchmarks/darcy16_bf16.py``; ships only on ≥10%% steps/s at parity.
+
     Returns (phi2, aux_dim) with aux_dim = n² (the carried solution rows).
     """
     data = jnp.asarray(data, jnp.float32)
@@ -613,12 +628,41 @@ def make_batched_misfit_warm(aux, data, noise_scale, cg_iters: int = 16,
         raise ValueError(
             f"precond must be 'jacobi', 'dst' or 'dst_trunc', got {precond!r}"
         )
+    if mixed_precision not in ("none", "recon", "recon+op"):
+        raise ValueError(
+            "mixed_precision must be 'none', 'recon' or 'recon+op', got "
+            f"{mixed_precision!r}"
+        )
+    bf16 = jnp.bfloat16
+    basis_t16 = basis_t.astype(bf16) if mixed_precision != "none" else None
 
     def phi2(U, x0):  # (K, block), (n², block) -> ((block,), (n², block))
         block = U.shape[1]
-        log_a = log_a_mean + basis_t @ U
+        if mixed_precision != "none":
+            log_a = log_a_mean + jax.lax.dot(
+                basis_t16, U.astype(bf16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            log_a = log_a_mean + basis_t @ U
         a = jnp.exp(log_a)
         t_h, t_v = _flat_transmissibilities(a, n, masks)
+        apply_fn = None
+        if mixed_precision == "recon+op":
+            h2 = float(n * n)
+            a16 = a.astype(bf16)
+            th16, tv16 = t_h.astype(bf16), t_v.astype(bf16)
+            edge16 = (2.0 * h2 * masks["edge"]).astype(bf16) * a16
+
+            def apply_fn(p):
+                p16 = p.astype(bf16)
+                flux_h = th16 * (p16 - _shift_up(p16, 1))
+                flux_v = tv16 * (p16 - _shift_up(p16, n))
+                out = (flux_h - _shift_down(flux_h, 1)
+                       + flux_v - _shift_down(flux_v, n)
+                       + edge16 * p16)
+                return out.astype(jnp.float32)
+
         b = jnp.broadcast_to(f, (n * n, block))
         if precond == "dst":
             # NB: no Jacobi diagonal here — it would be dead work Mosaic
@@ -634,7 +678,7 @@ def make_batched_misfit_warm(aux, data, noise_scale, cg_iters: int = 16,
             inv_m = None
             inv_diag = 1.0 / _operator_diagonal_flat(a, n, masks, t_h, t_v)
         x = _cg_flat(a, b, n, masks, t_h, t_v, inv_diag, cg_iters, x0=x0,
-                     inv_m=inv_m)
+                     inv_m=inv_m, apply_fn=apply_fn)
         pred = obs_mat @ x
         res = (data[:, None] - pred) / noise_scale
         return 0.5 * jnp.sum(res * res, axis=0), x
@@ -855,6 +899,111 @@ def make_pod_surrogate(aux, data, noise_scale, key, n_snapshots: int = 64,
         }
         return phi_r, info
     return phi_r
+
+
+def make_pod_surrogate_online(aux, data, noise_scale, key,
+                              n_snapshots: int = 24, rank="auto",
+                              log_a_mean: float = 0.0, prior_scale=None,
+                              energy_tol: float = 1e-6,
+                              enrich_batch: int = 8):
+    """ONLINE-enrichable POD surrogate (ROADMAP P2's last unbuilt lever;
+    round-3 VERDICT item 6): like :func:`make_pod_surrogate`, but returns
+    ``(phi_r, enrich)`` where ``enrich(positions) -> (phi_r', stats)``
+    rebuilds the basis with full solves at the ``enrich_batch`` WORST
+    chain positions by the reduced-residual indicator ‖A(a)Vc − f‖/‖f‖.
+
+    The point over offline weak-greedy enrichment: chain positions are
+    POSTERIOR-typical, so enrichment targets exactly the region the chain
+    actually visits — prior-draw snapshots overcover the prior's bulk and
+    undercover the (data-shrunk) posterior. The runner calls ``enrich``
+    between burn-in segments and FREEZES the surrogate before any recorded
+    sample (the repo's freeze-after-warmup discipline), so the recorded
+    chain is a plain time-homogeneous DA kernel — and the DA correction
+    makes the posterior exact for ANY frozen surrogate regardless of how
+    it was built; enrichment only moves the surrogate's efficiency
+    (subchain acceptance), never the target. ``stats`` reports the
+    indicator max/mean over the scored positions BEFORE enrichment — the
+    decreasing sequence that justifies the mechanism (test_da_pcn).
+    """
+    data_j = jnp.asarray(data, jnp.float32)
+    noise_scale_j = jnp.asarray(noise_scale, jnp.float32)
+    basis = aux["scaled_basis"]
+    n = int(aux["n_grid"])
+    f = jnp.asarray(aux["source"]).reshape(-1)
+    obs_indices = aux["obs_indices"]
+    K = basis.shape[0]
+    if prior_scale is None:
+        prior_scale = jnp.ones((K,), jnp.float32)
+    prior_scale = jnp.asarray(prior_scale)
+    key = jax.random.key(key) if isinstance(key, int) else key
+    draws = prior_scale * jax.random.normal(key, (n_snapshots, K))
+
+    def full_solve(u):
+        a = jnp.exp(log_a_mean + u @ basis).reshape(n, n)
+        return solve_cg(a, f, n, n_iters=120, precond="dst")
+
+    full_solve_v = jax.jit(jax.vmap(full_solve))
+    # snapshots live as host numpy: the config builder runs CPU-pinned while
+    # enrichment runs on the session's default backend — mixing committed
+    # arrays from both in one concatenate would be a cross-device error
+    state = {"snapshots": np.asarray(full_solve_v(draws))}
+
+    def _build():
+        _, s, vt = jnp.linalg.svd(jnp.asarray(state["snapshots"]),
+                                  full_matrices=False)
+        r = (choose_pod_rank(s, energy_tol,
+                             max_rank=state["snapshots"].shape[0])
+             if rank == "auto" else int(rank))
+        V = vt[:r].T
+        Vt_f = V.T @ f
+        obs_V = V[np.asarray(obs_indices)]
+
+        def phi_r(u):
+            a = jnp.exp(log_a_mean + u @ basis).reshape(n, n)
+            AV = jax.vmap(
+                lambda col: apply_operator(a, col.reshape(n, n), n).reshape(-1),
+                in_axes=1, out_axes=1,
+            )(V)
+            Ar = V.T @ AV
+            L = jnp.linalg.cholesky(Ar)
+            c = jax.scipy.linalg.cho_solve((L, True), Vt_f)
+            pred = obs_V @ c
+            res = (data_j - pred) / noise_scale_j
+            return 0.5 * jnp.sum(res * res)
+
+        def indicator(u):
+            a = jnp.exp(log_a_mean + u @ basis).reshape(n, n)
+            AV = jax.vmap(
+                lambda col: apply_operator(a, col.reshape(n, n), n).reshape(-1),
+                in_axes=1, out_axes=1,
+            )(V)
+            Ar = V.T @ AV
+            L = jnp.linalg.cholesky(Ar)
+            c = jax.scipy.linalg.cho_solve((L, True), Vt_f)
+            return jnp.linalg.norm(AV @ c - f) / jnp.linalg.norm(f)
+
+        return phi_r, jax.jit(jax.vmap(indicator))
+
+    phi_r, indicator_v = _build()
+
+    def enrich(positions):
+        """positions: (n_chains, K) current chain states. Scores them with
+        the residual indicator, full-solves the worst ``enrich_batch``,
+        appends snapshots, rebuilds. Returns (new_phi_r, stats)."""
+        nonlocal phi_r, indicator_v
+        res = np.asarray(indicator_v(jnp.asarray(positions)))
+        stats = {"indicator_max": float(res.max()),
+                 "indicator_mean": float(res.mean()),
+                 "n_snapshots": int(state["snapshots"].shape[0])}
+        worst = np.argsort(res)[-int(enrich_batch):]
+        new_snaps = np.asarray(full_solve_v(jnp.asarray(positions)[worst]))
+        state["snapshots"] = np.concatenate(
+            [state["snapshots"], new_snaps], axis=0
+        )
+        phi_r, indicator_v = _build()
+        return phi_r, stats
+
+    return phi_r, enrich
 
 
 def solve_pressure(u, aux, log_a_mean: float = 0.0):

@@ -49,6 +49,7 @@ def _setup_kernel_state(problem, positions, key_warm):
     kp.pop("fused", None)  # handled by run_problem; ignored on other paths
     kp.pop("block_chains", None)
     kp.pop("vi_init", None)  # VI warm start: consumed by run_problem
+    kp.pop("pod_enrich", None)  # online enrichment: consumed by run_problem
     warm_steps = 0
     if map_init and problem.kernel in ("mala", "hmc", "nuts"):
         positions = warmup.map_localize(
@@ -182,7 +183,7 @@ def _summarize_timed(samples):
 # _finalize; note rate keys like steps_per_s also end in "_s")
 _PHASE_KEYS = (
     "warmup_s", "trace_s", "compile_s", "first_dispatch_s", "run_s",
-    "diag_s", "fit_s", "vi_fit_s",
+    "diag_s", "fit_s", "vi_fit_s", "pod_enrich_s",
 )
 
 
@@ -425,6 +426,10 @@ def run_problem(
     vi_extra = {}
     if problem.kernel_params.get("vi_init"):
         vi_extra = _vi_warm_start(problem, jax.random.fold_in(key, 71))
+    if problem.kernel == "da_pcn" and problem.kernel_params.get("pod_enrich"):
+        vi_extra.update(
+            _pod_enrich_burnin(problem, jax.random.fold_in(key, 72), n_chains)
+        )
 
     if problem.kernel == "chees":
         metrics = _run_chees(problem, key, n_chains, n_samples)
@@ -654,6 +659,66 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
         "max_rhat": float(summ["max_rhat"]),
         "accept_rate": float(np.asarray(acc).mean()),
         "posterior_mean": np.asarray(summ["mean"]).tolist(),
+    }
+
+
+def _pod_enrich_burnin(problem, key, n_chains):
+    """Online POD-surrogate enrichment during burn-in (ROADMAP P2's last
+    lever; round-3 VERDICT item 6). Runs the DA-pCN chain in short
+    segments; between segments, hands the CURRENT chain positions to
+    ``problem.surrogate_enrich_fn`` (darcy.make_pod_surrogate_online),
+    which full-solves the worst positions by the reduced-residual
+    indicator and rebuilds the POD basis — enrichment targeted at
+    posterior-typical states instead of prior draws. The surrogate is then
+    FROZEN (installed as problem.surrogate_potential_fn) and the remaining
+    burn-in + all recorded sampling run the standard time-homogeneous DA
+    kernel — the DA correction keeps the posterior exact for any frozen
+    surrogate, so enrichment moves only the subchain efficiency, never the
+    target. Mutates ``problem`` (surrogate, resume positions, remaining
+    burn_in) and returns the indicator history for the metrics dict."""
+    from ip_mcmc_tpu.kernels import da_pcn
+
+    if problem.surrogate_enrich_fn is None:
+        raise ValueError(
+            f"config {problem.name}: kernel_params['pod_enrich'] needs "
+            "surrogate_enrich_fn (see darcy.make_pod_surrogate_online)"
+        )
+    spec = problem.kernel_params["pod_enrich"]
+    spec = spec if isinstance(spec, dict) else {}
+    epochs = int(spec.get("epochs", 3))
+    seg = int(spec.get("segment_steps", 40))
+    kp = {
+        k: v for k, v in problem.kernel_params.items()
+        if k in ("beta", "subchain_len")
+    }
+    phi, prior = problem.potential_fn, problem.prior
+    surr = problem.surrogate_potential_fn
+    t0 = time.perf_counter()
+    positions = problem.init_positions(jax.random.fold_in(key, 0), n_chains)
+    history = []
+    for e in range(epochs):
+        kernel = da_pcn.build_kernel(phi, surr, prior, **kp)
+        state = driver.init_chains(
+            lambda p: da_pcn.init(p, phi, surr), positions
+        )
+        state, _, _ = driver.sample_chains(
+            kernel, state, jax.random.fold_in(key, e + 1),
+            n_samples=1, burn_in=seg - 1, thin=1,
+        )
+        positions = state.position
+        surr, stats = problem.surrogate_enrich_fn(np.asarray(positions))
+        history.append(stats)
+
+    problem.surrogate_potential_fn = surr
+    pos_final = np.asarray(positions)
+    problem.init_positions_fn = lambda k, n: jnp.asarray(pos_final[:n])
+    problem.burn_in = max(problem.burn_in - epochs * seg, 0)
+    return {
+        "pod_enrich_epochs": epochs,
+        "pod_enrich_segment_steps": seg,
+        "pod_enrich_s": time.perf_counter() - t0,
+        "pod_enrich_indicator_max": [h["indicator_max"] for h in history],
+        "pod_enrich_indicator_mean": [h["indicator_mean"] for h in history],
     }
 
 

@@ -195,3 +195,57 @@ class TestPODSurrogate:
         e_base = np.abs(np.asarray(jax.vmap(base)(u)) - exact).mean()
         e_enr = np.abs(np.asarray(jax.vmap(enr)(u)) - exact).mean()
         assert e_enr <= e_base * 1.2, (e_base, e_enr)
+
+
+class TestPODOnlineEnrichment:
+    """Round-4 (VERDICT item 6): error-indicator-driven ONLINE enrichment
+    during DA sampling — runner._pod_enrich_burnin +
+    darcy.make_pod_surrogate_online."""
+
+    def test_online_enrichment_reduces_indicator(self):
+        """enrich() at chain positions appends snapshots and the residual
+        indicator over those positions decreases — the basis absorbs the
+        posterior-typical states it was asked about."""
+        from ip_mcmc_tpu import configs
+        from ip_mcmc_tpu.models import darcy
+
+        p = configs.build("darcy_da_pod")  # reuse the data/problem
+        _, aux = darcy.make_darcy_forward(
+            n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+        )
+        phi_r, enrich = darcy.make_pod_surrogate_online(
+            aux, p.data, 0.002, jax.random.key(3), n_snapshots=12,
+            rank="auto", enrich_batch=8,
+        )
+        pos = np.asarray(p.prior.sample(jax.random.key(9), (32,)))
+        phi_r2, s1 = enrich(pos)
+        _, s2 = enrich(pos)  # same positions: indicator must drop hard
+        assert s2["n_snapshots"] == s1["n_snapshots"] + 8
+        assert s2["indicator_max"] < s1["indicator_max"]
+        assert s2["indicator_mean"] < s1["indicator_mean"]
+
+    def test_online_config_runner_end_to_end(self):
+        """darcy_da_pod_online through the runner (tiny sizes): enrichment
+        history lands in metrics with a decreasing indicator, the
+        surrogate is frozen before recording (structural: recorded phase
+        runs the standard one-dispatch DA kernel), and the posterior is
+        sane."""
+        from ip_mcmc_tpu import configs, runner
+
+        p = configs.build("darcy_da_pod_online")
+        p.n_chains, p.n_samples, p.burn_in = 64, 20, 30
+        p.kernel_params = {
+            **p.kernel_params,
+            "pod_enrich": {"epochs": 2, "segment_steps": 10},
+        }
+        m = runner.run_problem(p)
+        assert m["kernel"] == "da_pcn"
+        assert m["pod_enrich_epochs"] == 2
+        assert len(m["pod_enrich_indicator_mean"]) == 2
+        # enrichment reduces the surrogate error indicator on-line
+        assert (m["pod_enrich_indicator_mean"][-1]
+                < m["pod_enrich_indicator_mean"][0])
+        # exactness machinery intact: recorded chain ran with some burn-in
+        # left (30 - 2*10 = 10) and produced finite diagnostics
+        assert 0.0 < m["accept_rate"] <= 1.0
+        assert np.isfinite(m["min_ess"])
