@@ -490,6 +490,10 @@ def make_batched_misfit(aux, data, noise_scale, cg_iters: int = 48,
     """
     data = jnp.asarray(data, jnp.float32)
     noise_scale = jnp.asarray(noise_scale, jnp.float32)
+    if noise_scale.ndim == 1:
+        # per-observation scales (e.g. discrepancy-inflated calibrated
+        # surrogates): column-shape so they broadcast over (m, block)
+        noise_scale = noise_scale[:, None]
     basis = aux["scaled_basis"]  # (K, n²)
     # pre-transpose the constants EAGERLY: a `.T` inside the traced potential
     # becomes an in-kernel transpose op executed every evaluation (measured
@@ -614,6 +618,10 @@ def make_batched_misfit_warm(aux, data, noise_scale, cg_iters: int = 16,
     """
     data = jnp.asarray(data, jnp.float32)
     noise_scale = jnp.asarray(noise_scale, jnp.float32)
+    if noise_scale.ndim == 1:
+        # per-observation scales (e.g. discrepancy-inflated calibrated
+        # surrogates): column-shape so they broadcast over (m, block)
+        noise_scale = noise_scale[:, None]
     basis = aux["scaled_basis"]
     basis_t = jnp.asarray(np.asarray(basis).T)  # eager: no in-kernel transpose
     obs = np.asarray(aux["obs_indices"])
@@ -702,6 +710,10 @@ def make_batched_misfit_mala_warm(aux, data, noise_scale, cg_iters: int = 8,
     """
     data = jnp.asarray(data, jnp.float32)
     noise_scale = jnp.asarray(noise_scale, jnp.float32)
+    if noise_scale.ndim == 1:
+        # per-observation scales (e.g. discrepancy-inflated calibrated
+        # surrogates): column-shape so they broadcast over (m, block)
+        noise_scale = noise_scale[:, None]
     basis = aux["scaled_basis"]
     basis_t = jnp.asarray(np.asarray(basis).T)
     obs = np.asarray(aux["obs_indices"])

@@ -611,13 +611,23 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
                       **run_kw, **kw)
 
     positions = problem.init_positions(key, n_chains)
+    # Drain any residual first-transfer stall BEFORE timing the burn
+    # launch (round-4 bisect: the process's first device->host transfer
+    # can stall for minutes server-side, and block_until_ready returns
+    # early — without this barrier the stall lands inside warmup_s and
+    # masquerades as fused-kernel compile time, the same mis-attribution
+    # the one-dispatch path fixed for the scan kernels).
+    t0 = time.perf_counter()
+    float(jnp.zeros(()) + 1.0)
+    stall_s = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     # FES returns a third output (per-chain stretch-move acceptance via the
     # kernel's extra_out channel — the quantity stretch_a is tuned with)
     burn_out = launch(chain, positions, 1, n_steps=problem.burn_in)
     positions = burn_out[0]
     stretch_acc = burn_out[2] if len(burn_out) > 2 else None
-    jax.block_until_ready(positions)
+    np.asarray(burn_out[1])  # transfer barrier (block returns early)
     burn_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -625,7 +635,7 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
         chain_rec, positions, 2, n_steps=n_samples * problem.thin,
         thin=problem.thin,
     )
-    jax.block_until_ready(samples)
+    np.asarray(acc)  # transfer barrier
     run_s = time.perf_counter() - t0
 
     summ, diag_s = _summarize_timed(samples)
@@ -650,6 +660,7 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
         "n_chains": int(n_chains),
         "n_samples": int(n_samples),
         "dim": int(problem.dim),
+        "first_dispatch_s": stall_s,
         "warmup_s": burn_s,
         "run_s": run_s,
         "steps_per_s": n_chains * n_samples * problem.thin / run_s,
