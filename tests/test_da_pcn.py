@@ -249,3 +249,34 @@ class TestPODOnlineEnrichment:
         # left (30 - 2*10 = 10) and produced finite diagnostics
         assert 0.0 < m["accept_rate"] <= 1.0
         assert np.isfinite(m["min_ess"])
+
+
+class TestDarcyDAFused:
+    def test_darcy_da_fused_config_runs(self):
+        """Round-4 headline config (fused DA, 8x8 calibrated surrogate)
+        through the runner at smoke sizes (subchain shortened: the fused
+        kernel unrolls it, and CPU interpret mode pays per-op)."""
+        from ip_mcmc_tpu import configs, runner
+
+        p = configs.build("darcy_da_fused")
+        p.n_chains, p.n_samples, p.burn_in = 64, 10, 4
+        p.kernel_params = {**p.kernel_params, "subchain_len": 6,
+                           "block_chains": 64}
+        m = runner.run_problem(p)
+        assert m["kernel"] == "da_pcn(fused)"
+        assert 0.0 < m["accept_rate"] <= 1.0
+        assert np.isfinite(m["min_ess"])
+
+    def test_calibrated_coarse_surrogate_tracks_exact(self):
+        """The calibrated 8x8 surrogate rank-correlates with the exact
+        misfit on prior draws (the property that makes the subchain a
+        useful filter; exactness never depends on it)."""
+        from ip_mcmc_tpu import configs
+
+        p = configs.build("darcy_da_fused")
+        u = p.prior.sample(jax.random.key(5), (16,))
+        exact = np.asarray(jax.vmap(p.potential_fn)(u))
+        Ub = jnp.asarray(np.asarray(u).T)
+        surr = np.asarray(p.batched_surrogate_fn(Ub))
+        corr = np.corrcoef(exact, surr)[0, 1]
+        assert corr > 0.9, corr
