@@ -167,6 +167,38 @@ def main():
         row.update(subchain_len=k, beta=beta)
         rows.append(row)
 
+    # --- 3-level probe: 8x8 inner -> 16-grid loose-CG middle -> exact ----
+    # The 2-level plateau sits at outer accept 0.56 (not collapsed like
+    # Burgers' 0.17), so the middle level has less to restore — probe
+    # whether it still pays. Middle = the darcy_da_pcn loose surrogate
+    # (exact grid, 8 jacobi iters ~ 1/6 the exact cost).
+    if not args.quick:
+        from ip_mcmc_tpu.models import darcy as _darcy
+
+        _, aux16b = _darcy.make_darcy_forward(
+            n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+        )
+        mid_loose = _darcy.make_batched_misfit(aux16b, yj, NOISE, cg_iters=8)
+        for k1, k2, beta in [(16, 4, 0.35), (24, 4, 0.35), (16, 8, 0.35)]:
+
+            def da3_launch(pos, seed, n, _k1=k1, _k2=k2, _b=beta):
+                return ops.fused_da3_pcn_chain(
+                    phi_exact, mid_loose, surr8, pos, pm, ps, _b, seed,
+                    n_steps=n, k_inner=_k1, k_mid=_k2, block_chains=block)
+
+            def da3_rec(pos, seed, n, _k1=k1, _k2=k2, _b=beta):
+                return ops.fused_da3_pcn_chain_recorded(
+                    phi_exact, mid_loose, surr8, pos, pm, ps, _b, seed,
+                    n_steps=n, thin=1, k_inner=_k1, k_mid=_k2,
+                    block_chains=block)
+
+            row = measure(da3_launch, da3_rec, positions,
+                          max(n_time // max(k1 * k2 // 4, 1), 40), n_rec,
+                          f"DA3 k1={k1} k2={k2} b={beta} 8x8+loose16",
+                          n_launches=2)
+            row.update(k_inner=k1, k_mid=k2, beta=beta)
+            rows.append(row)
+
     bar = rows[0]["ess_per_s"]
     for r in rows:
         r["ess_speedup_vs_warm_headline"] = r["ess_per_s"] / bar

@@ -272,3 +272,37 @@ class TestComposedFused:
             beta=0.5, n_steps=20, thin=2, block_chains=64)
         assert samples.shape == (10, 512, 2)
         assert np.isfinite(np.asarray(samples)).all()
+
+
+class TestShardedFusedDA:
+    """The round-4 headline kernel (fused delayed-acceptance pCN) under
+    chain sharding: each device's shard is bitwise a standalone run with
+    its decorrelated seed — the same serial-oracle guarantee the plain
+    fused kernels carry."""
+
+    def test_da_matches_serial_oracle_per_device(self):
+        from ip_mcmc_tpu.ops import fused_da_pcn_chain
+        from ip_mcmc_tpu.parallel.fused_shard import SEED_STRIDE
+
+        y = jnp.array([1.0, -0.5])
+        phi = lambda x: 0.5 * jnp.sum((y[:, None] - x) ** 2, axis=0)
+        surr = lambda x: 0.55 * jnp.sum((y[:, None] - x) ** 2, axis=0)
+        mesh = parallel.make_chain_mesh()
+        n, d = 512, 2
+        pos = jax.random.normal(jax.random.key(0), (n, d))
+        kw = dict(prior_mean=np.zeros(d), prior_scale=np.ones(d), beta=0.4,
+                  n_steps=12, subchain_len=4, block_chains=64)
+
+        def da_fn(p, positions, **kwargs):
+            return fused_da_pcn_chain(p, surr, positions, **kwargs)
+
+        final, acc, inner = parallel.sharded_fused_chain(
+            da_fn, mesh, phi, pos, seed=7, **kw)
+        per = n // mesh.devices.size
+        for didx in (0, mesh.devices.size - 1):
+            f2, a2, i2 = da_fn(
+                phi, pos[didx * per:(didx + 1) * per],
+                seed=7 + didx * SEED_STRIDE, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(final[didx * per:(didx + 1) * per]),
+                np.asarray(f2))
