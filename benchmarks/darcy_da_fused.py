@@ -76,8 +76,13 @@ def build_coarse_surrogate(aux16, prior, y, noise, n_coarse, cg_iters,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--da3-only", action="store_true",
+                    help="skip the 2-level grid (measure warm reference + "
+                         "DA3 probes only; separate output file)")
     ap.add_argument("--out", default="benchmarks/darcy_da_fused.json")
     args = ap.parse_args()
+    if args.da3_only and args.out == "benchmarks/darcy_da_fused.json":
+        args.out = "benchmarks/darcy_da3_probe.json"
 
     import jax
     import jax.numpy as jnp
@@ -134,9 +139,10 @@ def main():
             phi_exact, pos, pm, ps, beta0, seed, n_steps=n, thin=1,
             block_chains=block)
 
-    rows.append(measure(cold_launch, cold_rec, positions,
-                        max(n_time // 4, 50), n_rec,
-                        "cold exact-48 fused pCN", n_launches=8))
+    if not args.da3_only:
+        rows.append(measure(cold_launch, cold_rec, positions,
+                            max(n_time // 4, 50), n_rec,
+                            "cold exact-48 fused pCN", n_launches=8))
 
     # --- 2-level DA: 8x8 calibrated surrogate ---------------------------
     surr8, cost8 = build_coarse_surrogate(aux16, p.prior, p.data, NOISE,
@@ -148,6 +154,8 @@ def main():
             (32, 0.35), (48, 0.25), (48, 0.35), (64, 0.3), (64, 0.4)]
     if args.quick:
         grid = [(8, 0.08)]
+    if args.da3_only:
+        grid = [(48, 0.35)]  # re-measure the 2-level optimum for the ratio
     for k, beta in grid:
 
         def da_launch(pos, seed, n, _k=k, _b=beta):
@@ -167,11 +175,18 @@ def main():
         row.update(subchain_len=k, beta=beta)
         rows.append(row)
 
-    # --- 3-level probe: 8x8 inner -> 16-grid loose-CG middle -> exact ----
+    # --- 3-level probes: 8x8 inner -> middle -> exact -------------------
     # The 2-level plateau sits at outer accept 0.56 (not collapsed like
     # Burgers' 0.17), so the middle level has less to restore — probe
-    # whether it still pays. Middle = the darcy_da_pcn loose surrogate
-    # (exact grid, 8 jacobi iters ~ 1/6 the exact cost).
+    # whether it still pays. Two middle designs:
+    #   loose16: exact grid, 8 jacobi iters (~1/6 the exact cost) —
+    #     measured NEGATIVE (outer accept collapses to 0.12-0.16: the
+    #     middle stage selects endpoints where the truncated solve
+    #     underestimates the misfit — adversarial for the fine
+    #     correction);
+    #   cal12: calibrated 12x12 GRID, 30 iters (cost ~0.35 of fine — the
+    #     burgers-style discretization-converged middle the loose-solver
+    #     result predicts should work).
     if not args.quick:
         from ip_mcmc_tpu.models import darcy as _darcy
 
@@ -179,22 +194,34 @@ def main():
             n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
         )
         mid_loose = _darcy.make_batched_misfit(aux16b, yj, NOISE, cg_iters=8)
-        for k1, k2, beta in [(16, 4, 0.35), (24, 4, 0.35), (16, 8, 0.35)]:
+        mid_cal12, _cost12 = build_coarse_surrogate(
+            aux16, p.prior, p.data, NOISE, 12, 30)
+        da3_grid = [
+            (16, 4, 0.35, mid_loose, "loose16"),
+            (24, 4, 0.35, mid_loose, "loose16"),
+            (16, 8, 0.35, mid_loose, "loose16"),
+            (16, 4, 0.35, mid_cal12, "cal12"),
+            (16, 8, 0.35, mid_cal12, "cal12"),
+            (32, 4, 0.35, mid_cal12, "cal12"),
+        ]
+        if args.da3_only:  # loose16 already measured (negative)
+            da3_grid = [r for r in da3_grid if r[4] == "cal12"]
+        for k1, k2, beta, mid_b, mid_tag in da3_grid:
 
-            def da3_launch(pos, seed, n, _k1=k1, _k2=k2, _b=beta):
+            def da3_launch(pos, seed, n, _k1=k1, _k2=k2, _b=beta, _m=mid_b):
                 return ops.fused_da3_pcn_chain(
-                    phi_exact, mid_loose, surr8, pos, pm, ps, _b, seed,
+                    phi_exact, _m, surr8, pos, pm, ps, _b, seed,
                     n_steps=n, k_inner=_k1, k_mid=_k2, block_chains=block)
 
-            def da3_rec(pos, seed, n, _k1=k1, _k2=k2, _b=beta):
+            def da3_rec(pos, seed, n, _k1=k1, _k2=k2, _b=beta, _m=mid_b):
                 return ops.fused_da3_pcn_chain_recorded(
-                    phi_exact, mid_loose, surr8, pos, pm, ps, _b, seed,
+                    phi_exact, _m, surr8, pos, pm, ps, _b, seed,
                     n_steps=n, thin=1, k_inner=_k1, k_mid=_k2,
                     block_chains=block)
 
             row = measure(da3_launch, da3_rec, positions,
                           max(n_time // max(k1 * k2 // 4, 1), 40), n_rec,
-                          f"DA3 k1={k1} k2={k2} b={beta} 8x8+loose16",
+                          f"DA3 k1={k1} k2={k2} b={beta} 8x8+{mid_tag}",
                           n_launches=2)
             row.update(k_inner=k1, k_mid=k2, beta=beta)
             rows.append(row)
