@@ -783,6 +783,83 @@ def darcy_da_fused() -> Problem:
 
 
 @register
+def darcy64_da_fused() -> Problem:
+    """Fused 2-level delayed-acceptance pCN on the LARGE-GRID (64², 144-dim
+    KL) Darcy problem (round 4): 32-step subchain on a calibrated 32²-grid
+    surrogate (dst_trunc-12; ~1/5 the fine stencil cost), one exact
+    correction per outer step vs the dst_trunc-24 fine misfit, all in one
+    Pallas kernel. Ships the sweep optimum (benchmarks/darcy64_da.py,
+    plateau bracketed: (32, β0.4) 19,353 ESS/s ≈ (48, β0.35) 19,019):
+    **14.2×** the warm dst_trunc-4 64² kernel's honest ESS/s, exact
+    posterior. The 16²-grid surrogate measured too crude for this problem
+    (outer accept ~0.5 but accepted endpoints cluster near the start —
+    ESS collapses; BASELINE.md round-4 tables)."""
+    fwd, aux = darcy.make_darcy_forward(
+        n_grid=64, n_modes_per_dim=12, alpha=2.0, field_scale=10.0,
+        cg_iters=24, precond="dst",
+    )
+    K = 144
+    prior = dist.DiagGaussian(mean=jnp.zeros(K), scale=jnp.ones(K))
+    u_true = prior.sample(jax.random.key(500))
+    m = 16
+    noise = dist.DiagGaussian(mean=jnp.zeros(m), scale=0.002 * jnp.ones(m))
+    y = fwd(u_true) + noise.sample(jax.random.key(501))  # darcy64 data
+    phi = potentials.misfit_potential(fwd, y, noise)
+    phi_exact_b = darcy.make_batched_misfit(
+        aux, y, 0.002, cg_iters=24, precond="dst_trunc", precond_modes=256
+    )
+
+    # calibrated 32²-grid surrogate (same 144-mode whitened KL space)
+    n_coarse = 32
+    obs_f = np.asarray(aux["obs_indices"])
+    i_f, j_f = obs_f // 64, obs_f % 64
+
+    def _to_coarse(i):
+        return np.clip(
+            np.round((i + 0.5) * n_coarse / 64 - 0.5).astype(int),
+            0, n_coarse - 1,
+        )
+
+    obs_c = _to_coarse(i_f) * n_coarse + _to_coarse(j_f)
+    fwd_c, aux_c = darcy.make_darcy_forward(
+        n_grid=n_coarse, n_modes_per_dim=12, alpha=2.0, field_scale=10.0,
+        obs_indices=obs_c, cg_iters=60, precond="dst",
+    )
+    U_cal = prior.sample(jax.random.key(402), (32,))
+    d_cal = np.asarray(jax.vmap(fwd)(U_cal) - np.asarray(jax.vmap(fwd_c)(U_cal)))
+    y_surr = np.asarray(y) - d_cal.mean(axis=0)
+    scale_surr = np.sqrt(0.002**2 + d_cal.std(axis=0) ** 2).astype(np.float32)
+    surr_b = darcy.make_batched_misfit(
+        aux_c, y_surr, scale_surr, cg_iters=12, precond="dst_trunc",
+        precond_modes=128,
+    )
+    phi_surr = potentials.misfit_potential(
+        fwd_c,
+        jnp.asarray(y_surr),
+        dist.DiagGaussian(mean=jnp.zeros(m), scale=jnp.asarray(scale_surr)),
+    )
+    return Problem(
+        name="darcy64_da_fused",
+        dim=K,
+        prior=prior,
+        potential_fn=phi,
+        kernel="da_pcn",
+        kernel_params={"beta": 0.4, "subchain_len": 32, "fused": True,
+                       "block_chains": 128},
+        n_chains=1024,
+        n_samples=300,
+        burn_in=30,  # outer steps (each = 32 inner surrogate steps)
+        data=np.asarray(y),
+        truth=np.asarray(u_true),
+        notes="32c calibrated surrogate subchain + exact dst_trunc-24 "
+        "correction; exact posterior at 14.2x the warm 64c kernel",
+        batched_potential_fn=phi_exact_b,
+        surrogate_potential_fn=phi_surr,
+        batched_surrogate_fn=surr_b,
+    )
+
+
+@register
 def darcy_da_pod() -> Problem:
     """Delayed-acceptance pCN with a POD reduced-order surrogate (rank-20
     Galerkin projection from 64 offline prior solves — the data-driven

@@ -280,3 +280,17 @@ class TestDarcyDAFused:
         surr = np.asarray(p.batched_surrogate_fn(Ub))
         corr = np.corrcoef(exact, surr)[0, 1]
         assert corr > 0.9, corr
+
+    def test_darcy64_da_fused_config_runs(self):
+        """Large-grid round-4 DA config through the runner at smoke sizes
+        (short subchain + small block for CPU interpret mode)."""
+        from ip_mcmc_tpu import configs, runner
+
+        p = configs.build("darcy64_da_fused")
+        p.n_chains, p.n_samples, p.burn_in = 32, 6, 3
+        p.kernel_params = {**p.kernel_params, "subchain_len": 4,
+                           "block_chains": 32}
+        m = runner.run_problem(p)
+        assert m["kernel"] == "da_pcn(fused)"
+        assert 0.0 < m["accept_rate"] <= 1.0
+        assert np.isfinite(m["min_ess"])
