@@ -706,13 +706,20 @@ def darcy64_pcn_warm() -> Problem:
     )
 
 
-def _darcy_coarse_surrogate(prior, y, n_coarse=8, cg_iters=8):
+def _darcy_coarse_surrogate(prior, y, n_coarse=8, cg_iters=8,
+                            return_unfused=False):
     """Calibrated coarse-GRID batched Darcy misfit for fused delayed
     acceptance (the burgers_da_pcn recipe transplanted): same whitened KL
     coefficient space (sine modes are grid-independent), field sampled on
     the n_coarse grid, observations at the nearest coarse cells, bias-
     corrected by the mean fine-coarse discrepancy over 64 prior draws and
-    noise-inflated by its std. Returns a (K, block) -> (block,) misfit."""
+    noise-inflated by its std. The calibration forward runs the SAME
+    ``cg_iters`` as the deployed surrogate, so the discrepancy statistics
+    describe the solver that actually runs in the subchain (ADVICE round 4:
+    a 60-iter calibration under-estimated the deployed 8-iter solver's
+    error). Returns a (K, block) -> (block,) misfit; with
+    ``return_unfused=True`` also the single-particle Φ* built from the same
+    calibrated (y_surr, scale) pair."""
     n_fine = 16
     fwd_f, aux_f = darcy.make_darcy_forward(
         n_grid=n_fine, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
@@ -729,13 +736,22 @@ def _darcy_coarse_surrogate(prior, y, n_coarse=8, cg_iters=8):
     obs_c = to_coarse(i_f) * n_coarse + to_coarse(j_f)
     fwd_c, aux_c = darcy.make_darcy_forward(
         n_grid=n_coarse, n_modes_per_dim=8, alpha=2.0, field_scale=10.0,
-        obs_indices=obs_c, cg_iters=60,
+        obs_indices=obs_c, cg_iters=cg_iters,
     )
     U_cal = prior.sample(jax.random.key(402), (64,))
     d = np.asarray(jax.vmap(fwd_f)(U_cal) - jax.vmap(fwd_c)(U_cal))
     y_surr = np.asarray(y) - d.mean(axis=0)
     scale = np.sqrt(0.002**2 + d.std(axis=0) ** 2).astype(np.float32)
-    return darcy.make_batched_misfit(aux_c, y_surr, scale, cg_iters=cg_iters)
+    batched = darcy.make_batched_misfit(aux_c, y_surr, scale, cg_iters=cg_iters)
+    if not return_unfused:
+        return batched
+    phi_surr = potentials.misfit_potential(
+        fwd_c,
+        jnp.asarray(y_surr),
+        dist.DiagGaussian(mean=jnp.zeros(len(y_surr)),
+                          scale=jnp.asarray(scale)),
+    )
+    return batched, phi_surr
 
 
 @register
@@ -754,6 +770,7 @@ def darcy_da_fused() -> Problem:
     kernel's 0.0008) faster than the outer acceptance decays (0.56 at
     the optimum)."""
     phi, prior, y, u_true, phi_batched = _darcy_problem()
+    surr_b, phi_surr = _darcy_coarse_surrogate(prior, y, return_unfused=True)
     return Problem(
         name="darcy_da_fused",
         dim=64,
@@ -764,21 +781,23 @@ def darcy_da_fused() -> Problem:
         n_chains=4096,
         n_samples=400,
         burn_in=40,  # outer steps (each = 48 inner surrogate steps)
+        # thin=4 (round 5): with deferred-wait in-kernel recording the
+        # recorded launch costs the same as the unrecorded kernel, so the
+        # CLI's recorded-path ESS/s matches the headline (297k measured at
+        # thin=4 vs 318k unrecorded; benchmarks/da_recorded.json); thin=4
+        # raises per-recorded-sample ESS 0.18 -> 0.66, cutting the sample
+        # volume a user stores/transfers ~3.8x per effective sample.
+        thin=4,
         data=np.asarray(y),
         truth=np.asarray(u_true),
         notes="8x8 calibrated surrogate subchain + exact correction; "
-        "exact posterior at 9.22x the warm kernel's ESS/s",
+        "exact posterior; recorded-path ESS/s == headline (round 5)",
         batched_potential_fn=phi_batched,
-        surrogate_potential_fn=potentials.misfit_potential(
-            darcy.make_darcy_forward(
-                n_grid=8, n_modes_per_dim=8, alpha=2.0, field_scale=10.0,
-                cg_iters=60,
-            )[0],
-            y,
-            dist.DiagGaussian(mean=jnp.zeros(16),
-                              scale=0.002 * jnp.ones(16)),
-        ),
-        batched_surrogate_fn=_darcy_coarse_surrogate(prior, y),
+        # same calibrated (y_surr, inflated-scale) pair as the fused
+        # surrogate, so the scan da_pcn path runs the surrogate the
+        # subchain acceptance was tuned for (ADVICE round 4)
+        surrogate_potential_fn=phi_surr,
+        batched_surrogate_fn=surr_b,
     )
 
 
@@ -821,9 +840,15 @@ def darcy64_da_fused() -> Problem:
         )
 
     obs_c = _to_coarse(i_f) * n_coarse + _to_coarse(j_f)
+    # calibration forward at the DEPLOYED surrogate's iteration count
+    # (cg_iters=12, matching surr_b below) so the discrepancy statistics
+    # describe the solver that actually runs in the subchain (ADVICE
+    # round 4; the single-particle path has no dst_trunc, but dst-12 vs
+    # dst_trunc-12 solver error is small against the 32²-vs-64² grid
+    # discrepancy that dominates d_cal)
     fwd_c, aux_c = darcy.make_darcy_forward(
         n_grid=n_coarse, n_modes_per_dim=12, alpha=2.0, field_scale=10.0,
-        obs_indices=obs_c, cg_iters=60, precond="dst",
+        obs_indices=obs_c, cg_iters=12, precond="dst",
     )
     U_cal = prior.sample(jax.random.key(402), (32,))
     d_cal = np.asarray(jax.vmap(fwd)(U_cal) - np.asarray(jax.vmap(fwd_c)(U_cal)))

@@ -889,16 +889,31 @@ def _run_fused_recorded(
             def _():
                 # chain-last buffer (n_rec, d, n): the DMA'd slice's minor
                 # dim is the 128-aligned chain axis (Mosaic requirement),
-                # and the (d, block) state needs no transpose to record
-                scratch[:] = carry[0]
+                # and the (d, block) state needs no transpose to record.
+                # The wait is DEFERRED: record r's DMA is awaited only just
+                # before record r+1 overwrites the scratch, so the copy
+                # overlaps the next ``thin`` chain steps instead of stalling
+                # the pipeline per record (round-5: the eager start+wait
+                # cost ~8 ms/record — 4x the DA outer step itself — and was
+                # the whole recorded-vs-headline throughput gap).
                 rec = (i + 1) // thin - 1
-                dma = pltpu.make_async_copy(
+
+                @pl.when(rec >= 1)
+                def _():
+                    pltpu.make_async_copy(
+                        scratch,
+                        samples_ref.at[
+                            rec - 1, :, pl.ds(pid * block_chains, block_chains)
+                        ],
+                        sem,
+                    ).wait()
+
+                scratch[:] = carry[0]
+                pltpu.make_async_copy(
                     scratch,
                     samples_ref.at[rec, :, pl.ds(pid * block_chains, block_chains)],
                     sem,
-                )
-                dma.start()
-                dma.wait()
+                ).start()
 
             return carry, acc + accepted.astype(jnp.float32)
 
@@ -908,6 +923,15 @@ def _run_fused_recorded(
             body,
             (step_init(pos0), jnp.zeros((1, block_chains), jnp.float32)),
         )
+        n_rec_static = n_steps // thin
+        if n_rec_static >= 1:  # await the final in-flight record
+            pltpu.make_async_copy(
+                scratch,
+                samples_ref.at[
+                    n_rec_static - 1, :, pl.ds(pid * block_chains, block_chains)
+                ],
+                sem,
+            ).wait()
         out_ref[:] = carry_f[0].T
         acc_ref[:] = acc / n_steps
 

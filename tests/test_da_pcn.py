@@ -224,6 +224,42 @@ class TestPODOnlineEnrichment:
         assert s2["indicator_max"] < s1["indicator_max"]
         assert s2["indicator_mean"] < s1["indicator_mean"]
 
+    def test_pod_enrich_rejects_fused(self):
+        """pod_enrich with fused=True would silently skip enrichment (the
+        fused branch consumes batched_surrogate_fn) — must fail loudly
+        (ADVICE round 4, medium)."""
+        import pytest
+
+        from ip_mcmc_tpu import configs, runner
+
+        p = configs.build("darcy_da_pod_online")
+        p.n_chains, p.n_samples, p.burn_in = 32, 4, 20
+        p.kernel_params = {**p.kernel_params, "fused": True}
+        with pytest.raises(ValueError, match="pod_enrich"):
+            runner.run_problem(p)
+
+    def test_pod_enrich_does_not_mutate_caller_problem(self):
+        """A second run_problem() on the same Problem instance must start
+        from the configured burn-in/surrogate, not the already-enriched
+        state (ADVICE round 4: _pod_enrich_burnin used to mutate the
+        shared instance)."""
+        from ip_mcmc_tpu import configs, runner
+
+        p = configs.build("darcy_da_pod_online")
+        p.n_chains, p.n_samples, p.burn_in = 48, 8, 24
+        p.kernel_params = {
+            **p.kernel_params,
+            "pod_enrich": {"epochs": 2, "segment_steps": 8},
+        }
+        surr0 = p.surrogate_potential_fn
+        init0 = p.init_positions_fn
+        m1 = runner.run_problem(p)
+        assert p.burn_in == 24  # unchanged on the caller's instance
+        assert p.surrogate_potential_fn is surr0
+        assert p.init_positions_fn is init0
+        m2 = runner.run_problem(p)  # re-run enriches from scratch again
+        assert m2["pod_enrich_epochs"] == m1["pod_enrich_epochs"] == 2
+
     def test_online_config_runner_end_to_end(self):
         """darcy_da_pod_online through the runner (tiny sizes): enrichment
         history lands in metrics with a decreasing indicator, the
