@@ -169,9 +169,14 @@ def main():
     from ip_mcmc_tpu.configs import _darcy_coarse_surrogate
 
     DA_K, DA_BETA = 48, 0.35
-    phi_exact_b = darcy.make_batched_misfit(aux, jnp.asarray(y, jnp.float32),
-                                            NOISE)
-    surr8 = _darcy_coarse_surrogate(prior, jnp.asarray(y, jnp.float32))
+    # round-5 MXU-preconditioned pair (benchmarks/darcy_da_mxu.py): exact =
+    # dst_trunc-128 @ 12 iters, surrogate = full-spectral dst @ 3 iters —
+    # 1.58x the round-4 jacobi pair at posterior parity
+    phi_exact_b = darcy.make_batched_misfit(
+        aux, jnp.asarray(y, jnp.float32), NOISE, cg_iters=12,
+        precond="dst_trunc", precond_modes=128)
+    surr8 = _darcy_coarse_surrogate(prior, jnp.asarray(y, jnp.float32),
+                                    cg_iters=3, precond="dst_trunc")
 
     def da(pos, seed, n_steps):
         return fused_da_pcn_chain(

@@ -87,8 +87,8 @@ def worker(args):
         }), flush=True)
 
 
-def launch(num_processes, chains, steps, port):
-    per_proc_devices = TOTAL_DEVICES // num_processes
+def launch(num_processes, chains, steps, port, total_devices=TOTAL_DEVICES):
+    per_proc_devices = total_devices // num_processes
     procs = []
     for pid in range(num_processes):
         env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
@@ -119,6 +119,51 @@ def launch(num_processes, chains, steps, port):
     raise RuntimeError(f"no result line; outputs: {outs}")
 
 
+def launch_independent_pair(chains, steps):
+    """NO-COLLECTIVE control (round-5, VERDICT round-4 item 4): two fully
+    independent single-process workers, each with 1 device and chains/2,
+    running CONCURRENTLY. Identical process/core partitioning to the
+    2-process distributed row — the only difference is jax.distributed
+    bootstrap + the per-retained-step info all-reduce — so
+    (distributed rate) / (this rate) is the collective overhead alone,
+    decoupled from core contention."""
+    procs = []
+    for pid in range(2):
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["PYTHONPATH"] = REPO
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--num-processes", "1", "--process-id", "0",
+             "--chains", str(chains // 2), "--steps", str(steps)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        if p.returncode != 0:
+            raise RuntimeError(f"independent worker failed:\n{out}")
+        outs.append(out)
+    walls = []
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("{"):
+                walls.append(json.loads(line)["wall_s"])
+    assert len(walls) == 2, outs
+    wall = max(walls)  # both run concurrently; the pair finishes at max
+    return {
+        "num_processes": 2,
+        "mode": "independent (no collectives)",
+        "devices": 2,
+        "chains": chains,
+        "steps": steps,
+        "wall_s": wall,
+        "steps_per_s": chains * steps / wall,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
@@ -142,12 +187,37 @@ def main():
     base = rows[0]["steps_per_s"]
     for r in rows:
         r["efficiency_vs_1proc"] = r["steps_per_s"] / base
+
+    # ---- CONTROLLED pair (round-5, VERDICT round-4 item 4) --------------
+    # 2 total devices on the 2-core host, so NO row oversubscribes cores:
+    #   A: 1 process x 2 devices   (in-process partitioning; no gRPC)
+    #   B: 2 processes x 1 device  (distributed mesh; gRPC collectives)
+    #   C: 2 independent 1-device halves (no collectives at all)
+    # controlled_efficiency = B/A is the process-boundary cost free of
+    # contention; collective_share = B/C isolates the all-reduce itself.
+    a = launch(1, args.chains, args.steps, args.port + 11, total_devices=2)
+    b = launch(2, args.chains, args.steps, args.port + 12, total_devices=2)
+    c = launch_independent_pair(args.chains, args.steps)
+    controlled = {
+        "1proc_x_2dev_steps_per_s": a["steps_per_s"],
+        "2proc_x_1dev_steps_per_s": b["steps_per_s"],
+        "independent_pair_steps_per_s": c["steps_per_s"],
+        "controlled_efficiency": b["steps_per_s"] / a["steps_per_s"],
+        "collective_only_efficiency": b["steps_per_s"] / c["steps_per_s"],
+    }
+    for k, v in controlled.items():
+        print(f"{k}: {v:,.3f}" if "efficiency" in k else
+              f"{k}: {v:,.0f}", file=sys.stderr, flush=True)
+
     result = {
         "workload": "darcy16 pCN, fixed 4 virtual CPU devices, fixed "
                     f"{args.chains} chains, {args.steps} steps",
-        "caveat": "localhost gRPC collectives, not ICI/DCN; efficiency "
-                  "shape only — a pod run replaces this table",
+        "caveat": "localhost gRPC collectives, not ICI/DCN; the legacy "
+                  "4-device rows oversubscribe the 2-core host 2x/4x; the "
+                  "controlled block holds devices=cores=2 so its "
+                  "efficiency is contention-free",
         "rows": rows,
+        "controlled": controlled,
     }
     with open(args.out, "w") as fh:
         json.dump(result, fh, indent=1)

@@ -707,6 +707,7 @@ def darcy64_pcn_warm() -> Problem:
 
 
 def _darcy_coarse_surrogate(prior, y, n_coarse=8, cg_iters=8,
+                            precond="jacobi", precond_modes=64,
                             return_unfused=False):
     """Calibrated coarse-GRID batched Darcy misfit for fused delayed
     acceptance (the burgers_da_pcn recipe transplanted): same whitened KL
@@ -734,15 +735,22 @@ def _darcy_coarse_surrogate(prior, y, n_coarse=8, cg_iters=8,
         )
 
     obs_c = to_coarse(i_f) * n_coarse + to_coarse(j_f)
+    # calibration forward mirrors the deployed solver: same cg_iters, and
+    # "dst" when the batched surrogate runs the spectral (dst_trunc)
+    # preconditioner (the single-particle path's dense fast-Poisson apply
+    # is the same preconditioner at n_coarse=8, where 64 modes = ALL modes)
     fwd_c, aux_c = darcy.make_darcy_forward(
         n_grid=n_coarse, n_modes_per_dim=8, alpha=2.0, field_scale=10.0,
         obs_indices=obs_c, cg_iters=cg_iters,
+        precond=("dst" if precond != "jacobi" else "jacobi"),
     )
     U_cal = prior.sample(jax.random.key(402), (64,))
     d = np.asarray(jax.vmap(fwd_f)(U_cal) - jax.vmap(fwd_c)(U_cal))
     y_surr = np.asarray(y) - d.mean(axis=0)
     scale = np.sqrt(0.002**2 + d.std(axis=0) ** 2).astype(np.float32)
-    batched = darcy.make_batched_misfit(aux_c, y_surr, scale, cg_iters=cg_iters)
+    batched = darcy.make_batched_misfit(aux_c, y_surr, scale, cg_iters=cg_iters,
+                                        precond=precond,
+                                        precond_modes=precond_modes)
     if not return_unfused:
         return batched
     phi_surr = potentials.misfit_potential(
@@ -756,21 +764,43 @@ def _darcy_coarse_surrogate(prior, y, n_coarse=8, cg_iters=8,
 
 @register
 def darcy_da_fused() -> Problem:
-    """Fused 2-level delayed-acceptance pCN on the HEADLINE Darcy problem
-    (round 4): 48-step subchain on a calibrated 8×8-grid surrogate
-    (1/48th the stencil cost of the fine model), one exact correction per
-    outer step against the exact 48-iter misfit — all in one Pallas
-    kernel (ops.fused_da_pcn_chain). Ships the round-4 sweep optimum
-    (benchmarks/darcy_da_fused.py, bracketed plateau): k=48, β=0.35 →
-    **205,065 ESS/s = 9.22×** the warm dst_trunc-4 kernel's honest ESS/s
-    — while sampling the EXACT posterior (no warm-started-CG non-Markov
-    caveat; the DA correction is exact for any surrogate). The mechanism
-    is the Burgers DA finding transplanted: cheap surrogate steps
-    decorrelate recorded samples (per-sample ESS 0.13 vs the warm
-    kernel's 0.0008) faster than the outer acceptance decays (0.56 at
-    the optimum)."""
-    phi, prior, y, u_true, phi_batched = _darcy_problem()
-    surr_b, phi_surr = _darcy_coarse_surrogate(prior, y, return_unfused=True)
+    """Fused 2-level delayed-acceptance pCN on the HEADLINE Darcy problem:
+    48-step subchain on a calibrated 8×8-grid surrogate, one exact
+    correction per outer step — all in one Pallas kernel
+    (ops.fused_da_pcn_chain). Ships the round-4 sweep optimum k=48,
+    β=0.35 (benchmarks/darcy_da_fused.py, bracketed plateau) with the
+    round-5 MXU-preconditioned solver pair (see inline comment):
+    **462,038 ESS/s** measured (benchmarks/darcy_da_mxu.py), ~12× the
+    round-3 warm kernel — while sampling the EXACT posterior (no
+    warm-started-CG non-Markov caveat; the DA correction is exact for any
+    surrogate). The mechanism is the Burgers DA finding transplanted:
+    cheap surrogate steps decorrelate recorded samples (per-outer-step
+    ESS 0.18 vs the warm kernel's 0.0008/step) faster than the outer
+    acceptance decays (0.64 at the optimum). Recording is free
+    (deferred-wait DMA) and thin=4 ships, so the recorded path a user
+    keeps runs at the headline rate."""
+    phi, prior, y, u_true, _ = _darcy_problem()
+    # Round-5 MXU lever (benchmarks/darcy_da_mxu.py, measured on chip):
+    # the FLOP account showed the kernel VPU-bound, so both solves moved
+    # their preconditioning onto the MXU —
+    #   surrogate: dst_trunc-64 @ 3 CG iters (at n=8, 64 modes = ALL modes:
+    #     the dense spectral apply is a DIRECT fast-Poisson solve, two tiny
+    #     MXU matmuls) replaces 8 Jacobi iterations;
+    #   exact: dst_trunc-128 @ 12 CG iters replaces Jacobi-48 (better
+    #     converged AND cheaper).
+    # 462,038 vs 292,464 ESS/s (1.58x); posterior parity |dmean| 0.009 /
+    # |dstd| 0.005 — 4.6x inside the kernel's own seed-to-seed MC spread.
+    # dst2 measured NEGATIVE (surrogate too loose: outer accept 0.65->0.55,
+    # ESS/outer 0.173->0.135 — the solver error became the surrogate error).
+    fwd16, aux16 = darcy.make_darcy_forward(
+        n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
+    )
+    phi_batched = darcy.make_batched_misfit(
+        aux16, y, 0.002, cg_iters=12, precond="dst_trunc", precond_modes=128
+    )
+    surr_b, phi_surr = _darcy_coarse_surrogate(
+        prior, y, cg_iters=3, precond="dst_trunc", return_unfused=True
+    )
     return Problem(
         name="darcy_da_fused",
         dim=64,
