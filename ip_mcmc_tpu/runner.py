@@ -677,6 +677,20 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
     np.asarray(burn_out[1])  # transfer barrier (block returns early)
     burn_s = time.perf_counter() - t0
 
+    # The recorded program is a DIFFERENT compiled program from the burn
+    # one (static n_steps/thin), so its compile would otherwise land in
+    # run_s and poison every rate derived from it (round-5: a darcy_da_fused
+    # CLI run booked ~35 s of Mosaic compile as 37 s of "run", reporting
+    # 22k ESS/s for a 462k ESS/s kernel). Mirror the one-dispatch path's
+    # protocol: first call = compile + run, second identical call (same
+    # seed — bitwise-identical work) = steady-state run_s.
+    t0 = time.perf_counter()
+    out1 = launch(
+        chain_rec, positions, 2, n_steps=n_samples * problem.thin,
+        thin=problem.thin,
+    )
+    np.asarray(out1[1])  # transfer barrier
+    first_rec_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     final, acc, samples = launch(
         chain_rec, positions, 2, n_steps=n_samples * problem.thin,
@@ -726,6 +740,7 @@ def _run_fused_mcmc(problem, key, n_chains, n_samples, mesh=None):
         "dim": int(problem.dim),
         "first_dispatch_s": stall_s,
         "warmup_s": burn_s,
+        "compile_s": max(first_rec_s - run_s, 0.0),
         "run_s": run_s,
         **rate_keys,
         "diag_s": diag_s,
