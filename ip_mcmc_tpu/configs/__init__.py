@@ -954,7 +954,15 @@ def darcy_da_pod_online() -> Problem:
     rebuilds the basis — enrichment at posterior-typical states. The
     surrogate is frozen before any recorded sample (runner.
     _pod_enrich_burnin), so the DA-corrected posterior is exact by
-    construction; the metrics record the decreasing indicator history."""
+    construction; the metrics record the decreasing indicator history.
+
+    Round-5 head-to-head on the chip (benchmarks/pod_online_vs_static.py):
+    on THIS problem enrichment is a measured NEGATIVE — static-POD inner
+    acceptance is already 0.89, so the enriched basis buys +0.009
+    acceptance while costing 183 s of solves (0.79× steady-state ESS/s,
+    0.27× wall-inclusive). The mechanism works (indicator 0.097 → 0.065);
+    use this config when the surrogate actually limits acceptance
+    (sharper posteriors / larger grids), not by default."""
     phi, prior, y, u_true, phi_batched = _darcy_problem()
     _, aux = darcy.make_darcy_forward(
         n_grid=16, n_modes_per_dim=8, alpha=2.0, field_scale=10.0
