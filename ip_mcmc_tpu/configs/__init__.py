@@ -834,15 +834,16 @@ def darcy_da_fused() -> Problem:
 @register
 def darcy64_da_fused() -> Problem:
     """Fused 2-level delayed-acceptance pCN on the LARGE-GRID (64², 144-dim
-    KL) Darcy problem (round 4): 32-step subchain on a calibrated 32²-grid
-    surrogate (dst_trunc-12; ~1/5 the fine stencil cost), one exact
-    correction per outer step vs the dst_trunc-24 fine misfit, all in one
-    Pallas kernel. Ships the sweep optimum (benchmarks/darcy64_da.py,
-    plateau bracketed: (32, β0.4) 19,353 ESS/s ≈ (48, β0.35) 19,019):
-    **14.2×** the warm dst_trunc-4 64² kernel's honest ESS/s, exact
-    posterior. The 16²-grid surrogate measured too crude for this problem
-    (outer accept ~0.5 but accepted endpoints cluster near the start —
-    ESS collapses; BASELINE.md round-4 tables)."""
+    KL) Darcy problem: 32-step subchain on a calibrated 32²-grid
+    surrogate, one exact correction per outer step, all in one Pallas
+    kernel, at the round-4 sweep optimum (32, β0.4) with the round-5
+    iteration pair (surrogate dst_trunc-128 @ 3 iters; exact dst_trunc-256
+    @ 16 — benchmarks/darcy64_da_mxu.py): **45,314 ESS/s = 2.34×** the
+    round-4 kernel ≈ **33×** the warm dst_trunc-4 64² kernel's honest
+    ESS/s, exact posterior, outer accept 0.83. The 16²-grid surrogate
+    measured too crude for this problem (round 4), and 2 surrogate
+    iterations is the measured solver-error boundary (outer accept
+    collapses to 0.70; BASELINE.md round-5)."""
     fwd, aux = darcy.make_darcy_forward(
         n_grid=64, n_modes_per_dim=12, alpha=2.0, field_scale=10.0,
         cg_iters=24, precond="dst",
@@ -854,8 +855,15 @@ def darcy64_da_fused() -> Problem:
     noise = dist.DiagGaussian(mean=jnp.zeros(m), scale=0.002 * jnp.ones(m))
     y = fwd(u_true) + noise.sample(jax.random.key(501))  # darcy64 data
     phi = potentials.misfit_potential(fwd, y, noise)
+    # round-5 iteration sweep (benchmarks/darcy64_da_mxu.py, on chip):
+    # exact dst_trunc-256 @ 16 iters (was 24) and surrogate dst_trunc-128
+    # @ 3 iters (was 12) measured 45,314 vs 19,375 ESS/s (2.34x) at
+    # unchanged acceptance (outer 0.830, inner 0.184) and posterior
+    # parity |dmean| 0.011 / |dstd| 0.011; the boundary is s=2 (outer
+    # accept 0.83 -> 0.70 — solver error becomes surrogate error, the
+    # same rule as the 16x16 kernel's dst-2 negative).
     phi_exact_b = darcy.make_batched_misfit(
-        aux, y, 0.002, cg_iters=24, precond="dst_trunc", precond_modes=256
+        aux, y, 0.002, cg_iters=16, precond="dst_trunc", precond_modes=256
     )
 
     # calibrated 32²-grid surrogate (same 144-mode whitened KL space)
@@ -871,21 +879,21 @@ def darcy64_da_fused() -> Problem:
 
     obs_c = _to_coarse(i_f) * n_coarse + _to_coarse(j_f)
     # calibration forward at the DEPLOYED surrogate's iteration count
-    # (cg_iters=12, matching surr_b below) so the discrepancy statistics
+    # (cg_iters=3, matching surr_b below) so the discrepancy statistics
     # describe the solver that actually runs in the subchain (ADVICE
-    # round 4; the single-particle path has no dst_trunc, but dst-12 vs
-    # dst_trunc-12 solver error is small against the 32²-vs-64² grid
+    # round 4; the single-particle path has no dst_trunc, but dst-3 vs
+    # dst_trunc-3 solver error is small against the 32²-vs-64² grid
     # discrepancy that dominates d_cal)
     fwd_c, aux_c = darcy.make_darcy_forward(
         n_grid=n_coarse, n_modes_per_dim=12, alpha=2.0, field_scale=10.0,
-        obs_indices=obs_c, cg_iters=12, precond="dst",
+        obs_indices=obs_c, cg_iters=3, precond="dst",
     )
     U_cal = prior.sample(jax.random.key(402), (32,))
     d_cal = np.asarray(jax.vmap(fwd)(U_cal) - np.asarray(jax.vmap(fwd_c)(U_cal)))
     y_surr = np.asarray(y) - d_cal.mean(axis=0)
     scale_surr = np.sqrt(0.002**2 + d_cal.std(axis=0) ** 2).astype(np.float32)
     surr_b = darcy.make_batched_misfit(
-        aux_c, y_surr, scale_surr, cg_iters=12, precond="dst_trunc",
+        aux_c, y_surr, scale_surr, cg_iters=3, precond="dst_trunc",
         precond_modes=128,
     )
     phi_surr = potentials.misfit_potential(
@@ -906,8 +914,8 @@ def darcy64_da_fused() -> Problem:
         burn_in=30,  # outer steps (each = 32 inner surrogate steps)
         data=np.asarray(y),
         truth=np.asarray(u_true),
-        notes="32c calibrated surrogate subchain + exact dst_trunc-24 "
-        "correction; exact posterior at 14.2x the warm 64c kernel",
+        notes="32c calibrated dst-3 surrogate subchain + exact dst_trunc-16 "
+        "correction; exact posterior at ~33x the warm 64c kernel",
         batched_potential_fn=phi_exact_b,
         surrogate_potential_fn=phi_surr,
         batched_surrogate_fn=surr_b,
