@@ -125,11 +125,12 @@ def main():
             beta=BETA, seed=1000 + j, n_steps=N_REC, thin=1, aux_dim=aux_dim,
             block_chains=BLOCK,
         )
-        parts.append(np.asarray(series))
-    series = np.concatenate(parts, axis=0)
+        parts.append(series)  # stays on device: the 1.7 GB series never
+        # crosses the ~20 MB/s tunnel (round-5; was ~100 s of bench wall)
+    series = jnp.concatenate(parts, axis=0)
     log(f"ESS series ({N_WINDOWS}x{N_REC} recorded steps): {time.time()-t0:.1f}s")
 
-    ess = np.asarray(diagnostics.ess_per_param(jnp.asarray(series)))
+    ess = np.asarray(diagnostics.ess_per_param(series))
     min_ess = float(ess.min())
     ess_per_step_chain = min_ess / (N_CHAINS * len(series))
 
@@ -195,10 +196,10 @@ def main():
             phi_exact_b, surr8, pos_da, prior_mean, prior_scale, DA_BETA,
             2000 + j, n_steps=N_REC, thin=1, subchain_len=DA_K,
             block_chains=BLOCK)
-        parts.append(np.asarray(da_series))
-    da_series = np.concatenate(parts, axis=0)
+        parts.append(da_series)  # on device (see the pCN series note)
+    da_series = jnp.concatenate(parts, axis=0)
     da_ess = float(np.asarray(
-        diagnostics.ess_per_param(jnp.asarray(da_series))).min())
+        diagnostics.ess_per_param(da_series)).min())
     da_ess_per_step_chain = da_ess / (N_CHAINS * len(da_series))
 
     reps_t = []

@@ -834,13 +834,13 @@ def darcy_da_fused() -> Problem:
 @register
 def darcy64_da_fused() -> Problem:
     """Fused 2-level delayed-acceptance pCN on the LARGE-GRID (64², 144-dim
-    KL) Darcy problem: 32-step subchain on a calibrated 32²-grid
+    KL) Darcy problem: 48-step subchain on a calibrated 32²-grid
     surrogate, one exact correction per outer step, all in one Pallas
-    kernel, at the round-4 sweep optimum (32, β0.4) with the round-5
-    iteration pair (surrogate dst_trunc-128 @ 3 iters; exact dst_trunc-256
-    @ 16 — benchmarks/darcy64_da_mxu.py): **45,314 ESS/s = 2.34×** the
-    round-4 kernel ≈ **33×** the warm dst_trunc-4 64² kernel's honest
-    ESS/s, exact posterior, outer accept 0.83. The 16²-grid surrogate
+    kernel, at the round-5 optimum (48, β0.4) with the round-5 iteration
+    pair (surrogate dst_trunc-128 @ 3 iters; exact dst_trunc-256 @ 16 —
+    benchmarks/darcy64_da_mxu.py + da_ksweep_r5): **58,725 ESS/s ≈ 3×**
+    the round-4 kernel ≈ **43×** the warm dst_trunc-4 64² kernel's honest
+    ESS/s, exact posterior, outer accept 0.82. The 16²-grid surrogate
     measured too crude for this problem (round 4), and 2 surrogate
     iterations is the measured solver-error boundary (outer accept
     collapses to 0.70; BASELINE.md round-5)."""
@@ -907,11 +907,16 @@ def darcy64_da_fused() -> Problem:
         prior=prior,
         potential_fn=phi,
         kernel="da_pcn",
-        kernel_params={"beta": 0.4, "subchain_len": 32, "fused": True,
+        # k=48 (round-5 re-sweep, benchmarks/da_ksweep_r5_darcy64.json):
+        # the 4x-cheaper dst-3 surrogate moved the optimum up from the
+        # round-4 k=32 — 58,725 vs 46,648 ESS/s (+26%) at unchanged outer
+        # acceptance 0.82; k=64 is rate-equal (plateau), so the shorter
+        # subchain ships.
+        kernel_params={"beta": 0.4, "subchain_len": 48, "fused": True,
                        "block_chains": 128},
         n_chains=1024,
         n_samples=300,
-        burn_in=30,  # outer steps (each = 32 inner surrogate steps)
+        burn_in=30,  # outer steps (each = 48 inner surrogate steps)
         data=np.asarray(y),
         truth=np.asarray(u_true),
         notes="32c calibrated dst-3 surrogate subchain + exact dst_trunc-16 "
