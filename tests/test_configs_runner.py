@@ -172,3 +172,15 @@ def test_da_metric_units_are_named(tmp_path):
     assert "steps_per_s" in m and "outer_steps_per_s" not in m
     assert m["sampling_steps"] == 8 * p.thin
     assert m["sampling_steps_per_s"] <= m["steps_per_s"] + 1e-6
+
+
+def test_fused_path_names_compile_separately():
+    """Round-5: the fused runner times the recorded program's compile
+    apart from run_s (a darcy_da_fused CLI run had booked ~35 s of Mosaic
+    compile as run time, reporting 22k ESS/s for a 462k kernel)."""
+    p = configs.build("darcy_ess_fused")
+    p.kernel_params["block_chains"] = 32
+    p.burn_in = 2
+    m = runner.run_problem(p, key=jax.random.key(0), n_chains=32, n_samples=4)
+    assert "compile_s" in m and m["compile_s"] >= 0.0
+    assert m["run_s"] > 0.0
