@@ -4,15 +4,19 @@ reference-equivalent NumPy single-chain oracle.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-TPU side (round 4) = the fused 2-level DELAYED-ACCEPTANCE pCN kernel
-(`darcy_da_fused` config, sweep optimum k=48 β=0.35 from
-benchmarks/darcy_da_fused.py): a 48-step subchain on a calibrated
+TPU side = the fused 2-level DELAYED-ACCEPTANCE pCN kernel
+(`darcy_da_fused` config, sweep optimum k=48 β=0.35, round-5
+MXU-preconditioned solver pair: dst-3 surrogate / dst_trunc-128-12
+exact — benchmarks/darcy_da_mxu.py): a 48-step subchain on a calibrated
 8×8-grid surrogate + one exact correction per outer step, all inside one
 Pallas kernel — samples the EXACT posterior (no warm-started-CG
-non-Markov caveat) at ~9.2× the round-3 warm kernel's honest ESS/s. The
+non-Markov caveat) at ~12× the round-3 warm kernel's honest ESS/s. The
 round-3 warm dst_trunc-4 pCN kernel is still measured and logged (stderr)
 as the like-for-like pCN row so the round-over-round trend stays
-readable.
+readable. Round-5 additions: a recorded-path row (device- and host-side,
+with measured transfer bandwidth — the recorded rate equals the headline
+since deferred-wait DMA recording is free) and an oracle DA-pCN row that
+decomposes vs_baseline into algorithm × hardware factors.
 
 Methodology (SURVEY.md §6, §7.3 item 6 — honest ESS accounting):
 - both sides target the IDENTICAL posterior (same KL basis, grid,
