@@ -182,6 +182,28 @@ def test_recorded_chain_matches_unrecorded_and_distribution():
     assert float(np.asarray(acc).mean()) > 0.2
 
 
+def test_recorded_equals_unrecorded_bitwise():
+    """Recording is PASSIVE: the recorded program's chain is bitwise the
+    unrecorded program's chain at the same seed (the RNG stream is a pure
+    function of (seed, step, tag); the deferred-wait DMA added in round 5
+    must never perturb the state it snapshots)."""
+    from ip_mcmc_tpu.ops import fused_pcn_chain, fused_pcn_chain_recorded
+
+    n, d = 256, 2
+    y = jnp.array([1.0, -0.5])
+
+    def phi(x):
+        return 0.5 * jnp.sum((y[:, None] - x) ** 2, axis=0)
+
+    pos0 = jnp.zeros((n, d), jnp.float32)
+    kw = dict(prior_mean=np.zeros(d), prior_scale=np.ones(d), beta=0.4,
+              seed=9, n_steps=30, block_chains=128)
+    final_u, acc_u = fused_pcn_chain(phi, pos0, **kw)
+    final_r, acc_r, _ = fused_pcn_chain_recorded(phi, pos0, thin=3, **kw)
+    np.testing.assert_array_equal(np.asarray(final_u), np.asarray(final_r))
+    np.testing.assert_array_equal(np.asarray(acc_u), np.asarray(acc_r))
+
+
 def test_recorded_thin_validation():
     from ip_mcmc_tpu.ops import fused_pcn_chain_recorded
 
