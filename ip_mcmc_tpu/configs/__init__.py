@@ -708,6 +708,7 @@ def darcy64_pcn_warm() -> Problem:
 
 def _darcy_coarse_surrogate(prior, y, n_coarse=8, cg_iters=8,
                             precond="jacobi", precond_modes=64,
+                            solver="cg", omega=1.0,
                             return_unfused=False):
     """Calibrated coarse-GRID batched Darcy misfit for fused delayed
     acceptance (the burgers_da_pcn recipe transplanted): same whitened KL
@@ -743,6 +744,7 @@ def _darcy_coarse_surrogate(prior, y, n_coarse=8, cg_iters=8,
         n_grid=n_coarse, n_modes_per_dim=8, alpha=2.0, field_scale=10.0,
         obs_indices=obs_c, cg_iters=cg_iters,
         precond=("dst" if precond != "jacobi" else "jacobi"),
+        solver=solver, omega=omega,
     )
     U_cal = prior.sample(jax.random.key(402), (64,))
     d = np.asarray(jax.vmap(fwd_f)(U_cal) - jax.vmap(fwd_c)(U_cal))
@@ -750,7 +752,8 @@ def _darcy_coarse_surrogate(prior, y, n_coarse=8, cg_iters=8,
     scale = np.sqrt(0.002**2 + d.std(axis=0) ** 2).astype(np.float32)
     batched = darcy.make_batched_misfit(aux_c, y_surr, scale, cg_iters=cg_iters,
                                         precond=precond,
-                                        precond_modes=precond_modes)
+                                        precond_modes=precond_modes,
+                                        solver=solver, omega=omega)
     if not return_unfused:
         return batched
     phi_surr = potentials.misfit_potential(

@@ -145,7 +145,8 @@ def make_dst_preconditioner(a, n: int):
     return inv_m
 
 
-def solve_cg(a, f, n: int, n_iters: int = 48, precond: str = "jacobi"):
+def solve_cg(a, f, n: int, n_iters: int = 48, precond: str = "jacobi",
+             solver: str = "cg", omega: float = 1.0):
     """Preconditioned CG solve of A(a) p = f, matrix-free, fixed iteration
     count (static shapes), wrapped in ``lax.custom_linear_solve`` so
     gradients use the IMPLICIT adjoint solve (same CG, symmetric) rather
@@ -154,6 +155,11 @@ def solve_cg(a, f, n: int, n_iters: int = 48, precond: str = "jacobi"):
     ``precond``: "jacobi" (diagonal — cheapest per iteration) or "dst"
     (fast-Poisson via the sine eigenbasis — iteration count nearly
     grid-independent; the right choice at 64²+).
+
+    ``solver``: "cg" or "richardson" (fixed-ω preconditioned Richardson —
+    no dot products; for the spectrally-preconditioned surrogate regime,
+    and for calibrating surrogates whose deployed batched solver is
+    Richardson — see ``_richardson_flat`` for the measured rationale).
     """
     f2 = f.reshape(n, n)
     if precond == "dst":
@@ -163,9 +169,22 @@ def solve_cg(a, f, n: int, n_iters: int = 48, precond: str = "jacobi"):
         inv_m = lambda r: inv_diag * r
     else:
         raise ValueError(f"precond must be 'jacobi' or 'dst', got {precond!r}")
+    if solver not in ("cg", "richardson"):
+        raise ValueError(
+            f"solver must be 'cg' or 'richardson', got {solver!r}"
+        )
 
     def matvec(p):
         return apply_operator(a, p, n)
+
+    def richardson(mv, b):
+        om = jnp.float32(omega)
+        x = om * inv_m(b)
+
+        def body(_, x):
+            return x + om * inv_m(b - mv(x))
+
+        return jax.lax.fori_loop(0, n_iters - 1, body, x)
 
     def cg(mv, b):
         x = jnp.zeros_like(b)
@@ -192,7 +211,10 @@ def solve_cg(a, f, n: int, n_iters: int = 48, precond: str = "jacobi"):
         x, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (x, r, p, rz))
         return x
 
-    p = jax.lax.custom_linear_solve(matvec, f2, solve=cg, symmetric=True)
+    p = jax.lax.custom_linear_solve(
+        matvec, f2, solve=(richardson if solver == "richardson" else cg),
+        symmetric=True,
+    )
     return p.reshape(-1)
 
 
@@ -214,6 +236,8 @@ def make_darcy_forward(
     method: str = "cg",
     cg_iters: int = 48,
     precond: str = "jacobi",
+    solver: str = "cg",
+    omega: float = 1.0,
     mesh=None,
 ):
     """Build forward(u): KL coefficients (K,) → pressure at observation cells.
@@ -261,7 +285,8 @@ def make_darcy_forward(
         if method == "cg":
             # matrix-free stencil CG: no dense assembly, no scatters —
             # compiles ~100x faster on TPU and scales to large grids
-            p = solve_cg(a, f, n_grid, n_iters=cg_iters, precond=precond)
+            p = solve_cg(a, f, n_grid, n_iters=cg_iters, precond=precond,
+                         solver=solver, omega=omega)
         elif method == "sharded":
             from ip_mcmc_tpu.parallel import grid_shard
 
@@ -373,6 +398,50 @@ def _cg_flat(a, b, n, masks, t_h, t_v, inv_diag, n_iters, x0=None, inv_m=None,
     return x
 
 
+def _richardson_flat(a, b, n, masks, t_h, t_v, inv_diag, n_iters,
+                     omega=1.0, inv_m=None, apply_fn=None):
+    """Fixed-coefficient preconditioned Richardson on the flat (n², block)
+    layout: x ← x + ω·M⁻¹(b − A x), starting from x₁ = ω·M⁻¹b. Unlike CG
+    there are NO per-iteration dot products — the ablation split
+    (benchmarks/da_vpu_split.py) measured the fused DA surrogate's CG body
+    at ~39% of the whole outer step, and each CG iteration spends part of
+    that on two (n², block)→(block,) sublane reductions plus the α/β
+    scalar algebra and broadcasts, none of which Richardson has. Per
+    iteration this is ONE stencil apply + ONE preconditioner apply + an
+    axpy; n_iters iterations do n_iters−1 stencil applies (the first
+    "apply" against x₀ = 0 is free). Division-free, so inherently NaN-safe
+    where CG needs pAp/rz guards.
+
+    Meant for use with the SPECTRAL preconditioners (dst/dst_trunc), where
+    M⁻¹A clusters near 1 and fixed ω ≈ 0.8–0.9 is near-optimal; under
+    plain Jacobi the un-adapted iteration converges far slower than CG.
+
+    MEASURED VERDICT for the fused DA surrogate (its motivating use,
+    benchmarks/darcy_da_richardson.py): NEGATIVE — do not substitute for
+    CG there. The predicted rate win materializes exactly (+30% outer
+    steps/s at 3 iterations) but ESS/outer-step collapses ~6× at
+    unchanged outer acceptance: without CG's per-chain adaptivity the
+    fixed iteration's solver error is ~3× larger at the median per state
+    (3.1 vs 1.05 nats on prior draws) and state-dependent, which roughens
+    the surrogate landscape the subchain samples — the posterior stays
+    exact (DA corrects; parity held at |Δmean| ≤ 0.011) but outer mixing
+    dies. Kept as an option because the iteration is correct, tested, and
+    the right tool where a division-free fixed-cost solve matters more
+    than last-iteration accuracy."""
+    if inv_m is None:
+        inv_m = lambda r: inv_diag * r
+    if apply_fn is None:
+        apply_fn = lambda p: _apply_operator_flat(a, p, n, masks, t_h, t_v)
+    om = jnp.float32(omega)
+    x = om * inv_m(b)
+
+    def body(_, x):
+        r = b - apply_fn(x)
+        return x + om * inv_m(r)
+
+    return jax.lax.fori_loop(0, n_iters - 1, body, x)
+
+
 def _flat_dst_preconditioner(n, a, precond_dtype=jnp.bfloat16):
     """Fast-Poisson preconditioner on the FLAT (n², block) layout: the 2-D
     sine transform factorizes as vec(S R Sᵀ) = (S⊗I)(I⊗S) vec(R), and both
@@ -472,7 +541,8 @@ def _flat_truncated_dst_preconditioner(n, a, inv_diag, k_modes,
 
 def make_batched_misfit(aux, data, noise_scale, cg_iters: int = 48,
                         log_a_mean: float = 0.0, differentiable: bool = False,
-                        precond: str = "jacobi", precond_modes: int = 128):
+                        precond: str = "jacobi", precond_modes: int = 128,
+                        solver: str = "cg", omega: float = 1.0):
     """Batched misfit Φ for FEATURES-FIRST (K, block) coefficient batches —
     the form consumed by ``ops.fused_pcn_chain``: KL reconstruction (MXU
     matmul), the ENTIRE Jacobi-PCG Darcy solve, observation and misfit all
@@ -512,6 +582,17 @@ def make_batched_misfit(aux, data, noise_scale, cg_iters: int = 48,
         raise ValueError(
             f"precond must be 'jacobi' or 'dst_trunc', got {precond!r}"
         )
+    if solver not in ("cg", "richardson"):
+        raise ValueError(
+            f"solver must be 'cg' or 'richardson', got {solver!r}"
+        )
+    if solver == "richardson" and differentiable:
+        # the adjoint solve reuses the forward solver; Richardson's fixed
+        # iteration is tuned for the spectrally-preconditioned SURROGATE
+        # misfits, which are never differentiated — keep the adjoint path
+        # on CG until a measured need exists
+        raise ValueError("solver='richardson' supports differentiable=False "
+                         "only (surrogate misfits)")
 
     def _inv_m(a, inv_diag):
         if precond == "dst_trunc":
@@ -528,8 +609,13 @@ def make_batched_misfit(aux, data, noise_scale, cg_iters: int = 48,
         t_h, t_v = _flat_transmissibilities(a, n, masks)
         b = jnp.broadcast_to(f, (n * n, block))
         inv_diag = 1.0 / _operator_diagonal_flat(a, n, masks, t_h, t_v)
-        x = _cg_flat(a, b, n, masks, t_h, t_v, inv_diag, cg_iters,
-                     inv_m=_inv_m(a, inv_diag))
+        if solver == "richardson":
+            x = _richardson_flat(a, b, n, masks, t_h, t_v, inv_diag,
+                                 cg_iters, omega=omega,
+                                 inv_m=_inv_m(a, inv_diag))
+        else:
+            x = _cg_flat(a, b, n, masks, t_h, t_v, inv_diag, cg_iters,
+                         inv_m=_inv_m(a, inv_diag))
         pred = obs_mat @ x  # (m, block), MXU matmul
         res = (data[:, None] - pred) / noise_scale
         return 0.5 * jnp.sum(res * res, axis=0), a, x, res

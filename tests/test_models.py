@@ -402,6 +402,54 @@ class TestDSTPreconditioner:
         a = jnp.ones((8, 8))
         with pytest.raises(ValueError):
             darcy.solve_cg(a, jnp.ones(64), 8, precond="ilu")
+        with pytest.raises(ValueError):
+            darcy.solve_cg(a, jnp.ones(64), 8, solver="jacobi")
+
+
+class TestRichardsonSolver:
+    """solver="richardson": the fixed-omega preconditioned iteration added
+    for the DA surrogate misfits (no per-iteration dot products — see
+    benchmarks/da_vpu_split.py for the measured rationale)."""
+
+    def test_single_particle_matches_dense(self):
+        """richardson-dst converges to the dense solve on a rough field
+        (omega=0.9 at 3 iterations ~ CG-3 accuracy; 8 iterations tight)."""
+        fwd_ri, _ = darcy.make_darcy_forward(
+            n_grid=8, n_modes_per_dim=8, cg_iters=8, precond="dst",
+            solver="richardson", omega=0.9)
+        fwd_ex, _ = darcy.make_darcy_forward(
+            n_grid=8, n_modes_per_dim=8, method="dense")
+        u = jax.random.normal(jax.random.key(0), (64,))
+        p_ri, p_ex = fwd_ri(u), fwd_ex(u)
+        rel = float(jnp.abs(p_ri - p_ex).max() / jnp.abs(p_ex).max())
+        assert rel < 2e-3, rel
+
+    def test_batched_matches_cg_reference(self):
+        """Batched richardson-dst_trunc misfit vs a deep-CG reference:
+        3 iterations at omega=0.9 within the CG-3 accuracy class."""
+        fwd_ex, aux = darcy.make_darcy_forward(
+            n_grid=8, n_modes_per_dim=8, method="dense")
+        u = jax.random.normal(jax.random.key(0), (64,))
+        y = np.asarray(fwd_ex(u)) + 0.001
+        phi_ref = darcy.make_batched_misfit(aux, y, 0.002, cg_iters=96)
+        phi_ri = darcy.make_batched_misfit(
+            aux, y, 0.002, cg_iters=3, precond="dst_trunc",
+            precond_modes=64, solver="richardson", omega=0.9)
+        U = jax.random.normal(jax.random.key(1), (64, 32))
+        v_ref, v_ri = phi_ref(U), phi_ri(U)
+        rel = float(jnp.abs(v_ri - v_ref).max() / jnp.abs(v_ref).max())
+        assert rel < 0.05, rel
+
+    def test_validation(self):
+        _, aux = darcy.make_darcy_forward(n_grid=8, n_modes_per_dim=8)
+        with pytest.raises(ValueError):
+            darcy.make_batched_misfit(aux, np.zeros(16), 0.002,
+                                      solver="sor")
+        with pytest.raises(ValueError):
+            # adjoint path stays on CG until a measured need exists
+            darcy.make_batched_misfit(aux, np.zeros(16), 0.002,
+                                      solver="richardson",
+                                      differentiable=True)
 
 
 class TestBurgersMultiTimeObservations:
